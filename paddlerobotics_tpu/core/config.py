@@ -1,0 +1,267 @@
+"""Configuration tree for the quadruped stack.
+
+One dataclass hierarchy reproduces every knob the reference scatters over
+argparse flags and plain dicts:
+
+- sensor flags    — reference SENSOR_MODE (ETGRL/train.py:262-277)
+- reward weights  — reference Param_Dict  (ETGRL/train.py:255-261)
+- randomization   — reference Random_Param_Dict + param2dynamic_dict
+                    (ETGRL/train.py:112-126, 253-254)
+- sim constants   — reference minitaur.py/a1.py ctor args
+- SAC / ES hypers — reference train.py:34-47, 288-295
+
+These are *static* (hashable) configs: they select code paths at trace
+time. Dynamic, per-env randomized physics parameters live in
+``paddlerobotics_tpu.envs.randomize.DynamicsParams`` (a PyTree) instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Which observation channels are assembled, mirroring SENSOR_MODE.
+
+    Reference: ETGRL/train.py:262-277 and deployment/test.py:26-46 for the
+    resulting dims. The flat layout follows the reference's alphabetical
+    sensor-name sort (deployment/envs/EnvWrapper.py:98):
+      BaseDisplacement(3) < FootContactSensor(4) < IMU(6) < MotorAngleAcc(24)
+    with the ETG signal (12) appended last (EnvWrapper.py:103-107).
+    """
+
+    dis: bool = True          # base displacement/velocity (3)
+    motor: int = 1            # 1 → angles+velocities (24); 2 → angles (12); 0 → off
+    imu: int = 1              # 1 → rpy+drpy (6); 2 → drpy (3); 0 → off
+    contact: bool = True      # foot contacts (4)
+    etg: bool = True          # ETG joint-space signal (12)
+    etg_obs: bool = False     # ETG phase-feature observation (20)
+    footpose: bool = False    # foot positions in base frame (12)
+    dynamic_vec: bool = False # randomized dynamics vector echo
+    force_vec: bool = False   # external force vector echo (3)
+    noise: bool = False       # additive sensor noise on obs
+    normal: bool = True       # normalize channels (EnvWrapper.py:66-92)
+    # Temporal history ("RNN" sub-dict in the reference).
+    rnn_time_steps: int = 0
+    rnn_time_interval: int = 1
+    rnn_mode: str = "None"    # None | stack | GRU
+
+    @property
+    def base_obs_dim(self) -> int:
+        d = 0
+        if self.dis:
+            d += 3
+        if self.contact:
+            d += 4
+        if self.imu == 1:
+            d += 6
+        elif self.imu == 2:
+            d += 3
+        if self.motor == 1:
+            d += 24
+        elif self.motor == 2:
+            d += 12
+        if self.etg:
+            d += 12
+        if self.etg_obs:
+            d += 20
+        if self.footpose:
+            d += 12
+        if self.force_vec:
+            d += 3
+        return d
+
+    @property
+    def obs_dim(self) -> int:
+        d = self.base_obs_dim
+        if self.rnn_time_steps > 0 and self.rnn_mode == "stack":
+            d *= self.rnn_time_steps + 1
+        return d
+
+
+@dataclasses.dataclass(frozen=True)
+class RewardConfig:
+    """Reward-term weights, mirroring Param_Dict (ETGRL/train.py:255-261).
+
+    Channels: torso (forward progress), up (orientation upright), feet
+    (swing-foot clearance/placement), tau (torque penalty), badfoot
+    (illegal contact penalty), footcontact (stance-contact consistency),
+    stand (stand-still shaping), plus the velx success channel
+    (train.py:156: success when velx >= 0.3 m/s).
+    """
+
+    torso: float = 1.5
+    up: float = 0.6
+    feet: float = 0.3
+    tau: float = 0.07
+    stand: float = 0.0
+    badfoot: float = 0.1
+    footcontact: float = 0.1
+    # Global scale applied to the summed shaped reward (train.py --reward_p).
+    reward_p: float = 5.0
+    # Desired forward velocity (train.py --vel_d).
+    vel_d: float = 0.5
+    # Episode terminates when torso drops below this height or rolls over.
+    done_height: float = 0.15
+    done_rpy: float = 0.8
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomConfig:
+    """Domain-randomization toggles, mirroring Random_Param_Dict
+    (ETGRL/train.py:253-254) and the param2dynamic_dict ranges
+    (train.py:112-126)."""
+
+    random_dynamics: bool = False
+    random_force: bool = False
+    # Ranges (low, high) for randomized physical params; the param2dynamic
+    # mapping in envs/randomize.py converts [-1,1]^48 into these.
+    latency_range: Tuple[float, float] = (0.0, 0.08)   # seconds
+    friction_range: Tuple[float, float] = (0.0, 20.0)
+    basemass_range: Tuple[float, float] = (0.5, 3.0)   # scale of extra mass, kg
+    kp_range: Tuple[float, float] = (20.0, 200.0)
+    kd_range: Tuple[float, float] = (0.0, 5.0)
+    max_force: float = 20.0                            # random push magnitude, N
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Physics/integration constants.
+
+    The reference steps PyBullet at ``time_step`` with ``action_repeat``
+    inner steps per control step (minitaur.py:92-93; control dt 0.026 s
+    at train.py:297). We keep control dt = 0.026 and split it into
+    ``action_repeat`` semi-implicit Euler substeps.
+    """
+
+    control_dt: float = 0.026
+    action_repeat: int = 10
+    # Soft-contact model constants (replaces PyBullet's LCP solver).
+    contact_stiffness: float = 4000.0
+    contact_damping: float = 60.0
+    friction_coef: float = 0.6
+    friction_vel_scale: float = 0.25   # tanh regularization vel scale (m/s)
+    # PD motor defaults (a1.py:75-80: kp 100, kd [1,2,2]).
+    motor_kp: float = 100.0
+    motor_kd: Tuple[float, float, float] = (1.0, 2.0, 2.0)
+    torque_limit: float = 33.5         # A1 motor torque limit (N·m)
+    # Action interpolation across the repeat window (minitaur.py:1384-1401).
+    enable_action_interpolation: bool = True
+    # Observed-state latency (minitaur.py:1172-1193); in control steps the
+    # buffer holds `latency_buffer_len` past substep snapshots.
+    control_latency: float = 0.002
+    latency_buffer_len: int = 32   # covers the 0–80 ms randomization range
+    # Motor-command clipping (a1.py:62: ±0.2 rad change per step).
+    enable_clip_motor_commands: bool = False
+    max_motor_angle_change: float = 0.2
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.8)
+    # Velocity clamps for numerical robustness under large penalty forces.
+    max_joint_velocity: float = 100.0
+    max_base_velocity: float = 50.0
+
+    @property
+    def substep_dt(self) -> float:
+        return self.control_dt / self.action_repeat
+
+
+@dataclasses.dataclass(frozen=True)
+class ETGConfig:
+    """ETG oscillator constants (ETGRL/train.py:296-301)."""
+
+    T: float = 0.5           # gait period (s)
+    T2: float = 0.5          # second-phase period
+    dt: float = 0.026
+    H: int = 20              # number of RBF basis functions
+    sigma_sq: float = 0.04   # RBF width (squared)
+    amp: float = 0.2         # oscillator amplitude
+    phase: Tuple[float, float] = (-1.5707963267948966, 0.0)
+    # Prior control-point geometry (train.py:84-88 defaults).
+    steplen: float = 0.05
+    footheight: float = 0.1
+    penetration: float = 0.01
+    # Lateral foot offset per step (train.py --step_y).
+    step_y: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    """Terrain/task selection — the reference's nine task modes
+    (ETGRL/README.md "nine tasks"; grids at train.py:48-50)."""
+
+    task_mode: str = "ground"   # ground|up_slope|down_slope|up_stair|down_stair|
+                                # stairstair|slopeslope|obstacle|gallop
+    step_height: float = 0.08   # stairs rise  (train.py STEP_HEIGHT grid)
+    step_width: float = 0.3     # stairs run   (train.py STEP_WIDTH grid)
+    slope: float = 0.2          # slope gradient (train.py SLOPE grid)
+    terrain_start: float = 1.0  # flat run-in before the feature starts (m)
+
+
+@dataclasses.dataclass(frozen=True)
+class SACConfig:
+    """SAC hyperparameters (ETGRL/train.py:34-47)."""
+
+    gamma: float = 0.99
+    tau: float = 0.005
+    alpha: float = 0.2
+    actor_lr: float = 3e-4
+    critic_lr: float = 3e-4
+    batch_size: int = 256
+    warmup_steps: int = 10_000
+    memory_size: int = 1_000_000
+    hidden_dim: int = 256
+    log_sig_min: float = -20.0
+    log_sig_max: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ESConfig:
+    """ES outer-loop hyperparameters (ETGRL/train.py:36-38, 288-295)."""
+
+    solver: str = "simple_ga"   # simple_ga|simple_es|open_es|pepg|cma_es
+    popsize: int = 40
+    sigma_init: float = 0.02
+    sigma_decay: float = 0.99
+    sigma_limit: float = 0.005
+    elite_ratio: float = 0.1
+    weight_decay: float = 0.005
+    es_every_steps: int = 50_000
+    es_train_steps: int = 10
+    es_episode_len: int = 400
+    es_rpm: bool = True         # feed ES rollouts into the SAC replay buffer
+    num_params: int = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Top-level dual-loop schedule (ETGRL/train.py:354-437)."""
+
+    max_steps: int = 10_000_000
+    eval_every_steps: int = 10_000
+    e_step: int = 400           # episode length, grows +50/eval up to 600
+    e_step_max: int = 600
+    e_step_growth: int = 50
+    act_mode: str = "traj"      # pose|torque|traj
+    act_bound: float = 0.3
+    eval_episode_len: int = 600
+    num_envs: int = 4096
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadrupedConfig:
+    """Everything needed to build the A1 env + ETG + trainers."""
+
+    sim: SimConfig = dataclasses.field(default_factory=SimConfig)
+    sensors: SensorConfig = dataclasses.field(default_factory=SensorConfig)
+    reward: RewardConfig = dataclasses.field(default_factory=RewardConfig)
+    random: RandomConfig = dataclasses.field(default_factory=RandomConfig)
+    etg: ETGConfig = dataclasses.field(default_factory=ETGConfig)
+    task: TaskConfig = dataclasses.field(default_factory=TaskConfig)
+    sac: SACConfig = dataclasses.field(default_factory=SACConfig)
+    es: ESConfig = dataclasses.field(default_factory=ESConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "QuadrupedConfig":
+        return dataclasses.replace(self, **kw)

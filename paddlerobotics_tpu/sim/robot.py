@@ -1,0 +1,132 @@
+"""Robot control-step: action repeat, interpolation, latency, PD, dynamics.
+
+Functional rebuild of Minitaur.Step/_StepInternal/ApplyAction/
+ReceiveObservation (deployment/robots/minitaur.py:242-258, 904-947,
+1151-1193): one call advances a control step (default 26 ms) by
+`action_repeat` physics substeps inside a `lax.scan`, so a vmapped batch
+of envs compiles to a single fused XLA loop.
+
+State the reference keeps in Python (`_observation_history` deque with
+latency interpolation, `_last_action`) lives in fixed-shape arrays on
+`RobotState` (core/types.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from paddlerobotics_tpu.core.config import SimConfig
+from paddlerobotics_tpu.core.types import QuadState, RobotState
+from paddlerobotics_tpu.sim import a1_model as a1
+from paddlerobotics_tpu.sim import contact as contact_mod
+from paddlerobotics_tpu.sim import dynamics, motor
+from paddlerobotics_tpu.sim.dynamics import DynamicsParams
+from paddlerobotics_tpu.sim.motor import MotorControlMode
+
+
+def delayed_motor_obs(q_hist: jnp.ndarray, qd_hist: jnp.ndarray,
+                      latency: jnp.ndarray, substep_dt: float):
+    """Latency-interpolated motor observation (minitaur.py:1172-1193).
+
+    History index 0 is the newest snapshot; entry i is i substeps old.
+    Linear interpolation between the two snapshots bracketing `latency`.
+    """
+    L = q_hist.shape[0]
+    f = jnp.clip(latency / substep_dt, 0.0, L - 1.001)
+    i0 = jnp.floor(f).astype(jnp.int32)
+    frac = f - i0
+    q0 = jnp.take(q_hist, i0, axis=0)
+    q1 = jnp.take(q_hist, jnp.minimum(i0 + 1, L - 1), axis=0)
+    qd0 = jnp.take(qd_hist, i0, axis=0)
+    qd1 = jnp.take(qd_hist, jnp.minimum(i0 + 1, L - 1), axis=0)
+    return q0 * (1 - frac) + q1 * frac, qd0 * (1 - frac) + qd1 * frac
+
+
+def init_robot_state(cfg: SimConfig, height: float = 0.32,
+                     q0: jnp.ndarray | None = None) -> RobotState:
+    """Standing-start RobotState with filled history buffers."""
+    state = dynamics.default_state(height=height, motor_angles=q0)
+    L = cfg.latency_buffer_len
+    poses = dynamics.world_poses(state)
+    zeros4 = jnp.zeros((4,))
+    from paddlerobotics_tpu.core.types import ContactState
+    contact = ContactState(
+        foot_pos=poses["o_foot"], foot_vel=jnp.zeros((4, 3)),
+        forces=jnp.zeros((4, 3)), penetration=zeros4,
+        in_contact=zeros4 > 1, knee_penetration=zeros4,
+        base_penetration=jnp.asarray(0.0))
+    return RobotState(
+        state=state,
+        q_hist=jnp.tile(state.q[None, :], (L, 1)),
+        qd_hist=jnp.zeros((L, 12)),
+        last_action=state.q,
+        applied_torque=jnp.zeros(12),
+        contact=contact)
+
+
+def substep(robot: RobotState, motor_command: jnp.ndarray,
+            params: DynamicsParams, cfg: SimConfig, h_fn,
+            control_mode: MotorControlMode = MotorControlMode.POSITION
+            ) -> RobotState:
+    """One physics substep (minitaur._StepInternal:242-246)."""
+    state = robot.state
+    poses = dynamics.world_poses(state)
+
+    q_obs, qd_obs = delayed_motor_obs(
+        robot.q_hist, robot.qd_hist, params.control_latency, cfg.substep_dt)
+    if control_mode == MotorControlMode.POSITION:
+        tau = motor.pd_torque(motor_command, q_obs, qd_obs,
+                              params.motor_kp, params.motor_kd,
+                              jnp.asarray(a1.TORQUE_LIMIT))
+    elif control_mode == MotorControlMode.TORQUE:
+        tau = motor.torque_passthrough(motor_command,
+                                       jnp.asarray(a1.TORQUE_LIMIT))
+    else:
+        tau = motor.hybrid_torque(motor_command, q_obs, qd_obs,
+                                  jnp.asarray(a1.TORQUE_LIMIT))
+
+    contact_state, foot_f, knee_f, base_f = contact_mod.compute_contacts(
+        state, poses, h_fn, params, cfg)
+    a0, qdd = dynamics.forward_dynamics(
+        state, tau, foot_f, knee_f, base_f, params, poses)
+    new_state = dynamics.integrate(
+        state, a0, qdd, cfg.substep_dt,
+        max_joint_vel=cfg.max_joint_velocity,
+        max_base_vel=cfg.max_base_velocity)
+
+    q_hist = jnp.concatenate([new_state.q[None], robot.q_hist[:-1]], axis=0)
+    qd_hist = jnp.concatenate([new_state.qd[None], robot.qd_hist[:-1]], axis=0)
+    return RobotState(
+        state=new_state, q_hist=q_hist, qd_hist=qd_hist,
+        last_action=robot.last_action, applied_torque=tau,
+        contact=contact_state)
+
+
+def control_step(robot: RobotState, action: jnp.ndarray,
+                 params: DynamicsParams, cfg: SimConfig, h_fn,
+                 control_mode: MotorControlMode = MotorControlMode.POSITION
+                 ) -> RobotState:
+    """One control step = `action_repeat` substeps with action interpolation
+    (minitaur.Step:248-258 + ProcessAction lerp:1384-1401)."""
+    if cfg.enable_clip_motor_commands and control_mode == MotorControlMode.POSITION:
+        # a1._ClipMotorCommands:440-457: clamp change per control step.
+        action = jnp.clip(
+            action,
+            robot.state.q - cfg.max_motor_angle_change,
+            robot.state.q + cfg.max_motor_angle_change)
+
+    prev_action = robot.last_action
+    n = cfg.action_repeat
+
+    def body(rb, i):
+        if cfg.enable_action_interpolation and control_mode == MotorControlMode.POSITION:
+            t = (i + 1.0) / n
+            cmd = prev_action + t * (action - prev_action)
+        else:
+            cmd = action
+        rb = substep(rb, cmd, params, cfg, h_fn, control_mode)
+        return rb, None
+
+    robot, _ = jax.lax.scan(body, robot, jnp.arange(n))
+    return robot.replace(last_action=action)
