@@ -247,6 +247,7 @@ class TrainConfig:
     eval_episode_len: int = 600
     num_envs: int = 4096
     seed: int = 0
+    enable_action_filter: bool = False  # train.py --enable_action_filter
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,256 @@
+"""The batched A1 quadruped environment (TPU-native `rlschool.make_env`).
+
+Functional rebuild of the reference env stack — rlschool's
+``make_env('Quadrupedal', ...)`` + wrapper tower (ETG injection, sensor
+obs, reward monitor; mirrored by deployment/envs/EnvWrapper.py:19-25) —
+as a pair of pure functions `reset`/`step` over an `EnvState` PyTree:
+
+- `jax.vmap(env.step)` runs thousands of envs per chip;
+- episode autoreset is branch-free (`where`-select against a fresh
+  reset state), so rollouts `lax.scan` cleanly;
+- the ETG residual gait is evaluated on-device from (w, b) carried in the
+  state, so an ES population can give *every env its own gait* — the
+  reference's `reset(ETG_w, ETG_b)` (train.py:131) without host traffic.
+
+API mapping (reference → here):
+  env.reset(ETG_w=w, ETG_b=b)            → env.reset(rng, etg_w, etg_b)
+  env.step(a*bound, donef=...)           → env.step(state, a, donef)
+  info["velx"/"ETG_act"/reward channels] → info dict (jnp scalars)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paddlerobotics_tpu.core import math3d
+from paddlerobotics_tpu.core.config import QuadrupedConfig
+from paddlerobotics_tpu.core.types import RobotState
+from paddlerobotics_tpu.envs import action_filter as af
+from paddlerobotics_tpu.envs import randomize, reward as reward_mod, sensors
+from paddlerobotics_tpu.etg import fit as etg_fit
+from paddlerobotics_tpu.etg import model as etg_model
+from paddlerobotics_tpu.sim import a1_model as a1
+from paddlerobotics_tpu.sim import robot as robot_mod
+from paddlerobotics_tpu.sim import terrain
+from paddlerobotics_tpu.sim.dynamics import DynamicsParams
+from paddlerobotics_tpu.sim.motor import MotorControlMode
+
+MAX_EPISODE_STEPS = 2048
+
+
+@struct.dataclass
+class EnvState:
+    robot: RobotState
+    dyn: DynamicsParams
+    etg_w: jnp.ndarray        # (3,H)
+    etg_b: jnp.ndarray        # (3,)
+    step_idx: jnp.ndarray     # () int32
+    rng: jax.Array
+    last_base_pos: jnp.ndarray
+    init_rpy: jnp.ndarray
+    filter_state: jnp.ndarray  # (2,12) Butterworth carry
+    done: jnp.ndarray          # () bool
+
+
+class QuadrupedEnv:
+    """Static config + precomputed tables; all methods are pure."""
+
+    def __init__(self, config: QuadrupedConfig):
+        self.cfg = config
+        self.h_fn = terrain.height_fn(config.task)
+        w0, b0 = etg_fit.opt_with_points(config.etg)
+        self._w0 = np.asarray(w0)
+        self._b0 = np.asarray(b0)
+        va, vb = etg_model.phase_tables(config.etg, MAX_EPISODE_STEPS)
+        self._va = np.asarray(va)
+        self._vb = np.asarray(vb)
+        self._filter_b, self._filter_a = af.butter_lowpass_coeffs(
+            1.0 / config.sim.control_dt)
+        mode = config.train.act_mode
+        if mode == "pose":
+            self.act_bound = np.array([0.1, 0.7, 0.7] * 4)
+        elif mode == "torque":
+            self.act_bound = np.array([10.0] * 12)
+        else:  # traj
+            self.act_bound = np.array([config.train.act_bound] * 12)
+        self.control_mode = (MotorControlMode.TORQUE if mode == "torque"
+                             else MotorControlMode.POSITION)
+        self._spawn_height = 0.27
+
+    # -- helpers -------------------------------------------------------------
+
+    @property
+    def obs_dim(self) -> int:
+        return self.cfg.sensors.base_obs_dim
+
+    @property
+    def action_dim(self) -> int:
+        return 12
+
+    def default_etg(self):
+        return jnp.asarray(self._w0), jnp.asarray(self._b0)
+
+    def _etg_residual(self, etg_w, etg_b, step_idx):
+        v_a = jnp.asarray(self._va)[step_idx % MAX_EPISODE_STEPS]
+        v_b = jnp.asarray(self._vb)[step_idx % MAX_EPISODE_STEPS]
+        act = etg_model.etg_joint_residual(etg_w, etg_b, v_a, v_b, self.cfg.etg)
+        # gait phase mask from the readout z-delta of each leg
+        d = etg_model.foot_deltas(etg_w, etg_b, v_a, v_b, self.cfg.etg)
+        swing = d[:, 2] > 0.02
+        stance = d[:, 2] <= 0.005
+        return act, swing, stance, v_a
+
+    # -- reset ---------------------------------------------------------------
+
+    def reset(self, rng: jax.Array,
+              etg_w: Optional[jnp.ndarray] = None,
+              etg_b: Optional[jnp.ndarray] = None,
+              dyn: Optional[DynamicsParams] = None,
+              x_noise: bool = False) -> Tuple[EnvState, jnp.ndarray]:
+        """Fresh episode. Mirrors env.reset(ETG_w, ETG_b, x_noise)."""
+        rng, k_dyn, k_noise = jax.random.split(rng, 3)
+        if etg_w is None or etg_b is None:
+            etg_w, etg_b = self.default_etg()
+        if dyn is None:
+            if self.cfg.random.random_dynamics:
+                dyn = randomize.sample_dynamics(k_dyn)
+            else:
+                dyn = DynamicsParams.default()
+
+        h0 = self.h_fn(jnp.zeros(()), jnp.zeros(()))
+        spawn = self._spawn_height + h0
+        rb = robot_mod.init_robot_state(self.cfg.sim, height=spawn)
+        if x_noise:
+            dx = 0.02 * jax.random.normal(k_noise, (3,))
+            rb = rb.replace(state=rb.state.replace(
+                base_pos=rb.state.base_pos + dx * jnp.array([1.0, 1.0, 0.0])))
+
+        state = EnvState(
+            robot=rb, dyn=dyn, etg_w=etg_w, etg_b=etg_b,
+            step_idx=jnp.zeros((), jnp.int32), rng=rng,
+            last_base_pos=rb.state.base_pos,
+            init_rpy=math3d.quat_to_euler(rb.state.base_quat),
+            filter_state=af.init_filter_state(
+                self._filter_b, self._filter_a, rb.state.q),
+            done=jnp.zeros((), bool))
+        obs = self._observe(state, jnp.zeros(12))
+        return state, obs
+
+    # -- observation ---------------------------------------------------------
+
+    def _observe(self, state: EnvState, etg_act: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg.sensors
+        rb = state.robot
+        st = rb.state
+        R_b = math3d.quat_to_mat(st.base_quat)
+        base_vel_w = R_b @ st.base_lin_vel
+        rpy = math3d.quat_to_euler(st.base_quat) - state.init_rpy
+        drpy = st.base_ang_vel
+        q_obs, qd_obs = robot_mod.delayed_motor_obs(
+            rb.q_hist, rb.qd_hist, state.dyn.control_latency,
+            self.cfg.sim.substep_dt)
+        foot_pose = None
+        if cfg.footpose:
+            foot_pose = a1.foot_positions_in_base_frame(st.q)
+        etg_features = None
+        if cfg.etg_obs:
+            etg_features = jnp.asarray(self._va)[state.step_idx % MAX_EPISODE_STEPS]
+        rng = jax.random.fold_in(state.rng, state.step_idx) if cfg.noise else None
+        return sensors.assemble_obs(
+            cfg, base_vel_w, rb.contact.in_contact, rpy, drpy,
+            q_obs, qd_obs, etg_act,
+            etg_features=etg_features, foot_pose=foot_pose,
+            ext_force=state.dyn.external_force, rng=rng)
+
+    # -- step ----------------------------------------------------------------
+
+    def step(self, state: EnvState, action: jnp.ndarray,
+             donef: jnp.ndarray | bool = False
+             ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                        Dict[str, jnp.ndarray]]:
+        """One control step. `action` is the *scaled* policy action
+        (caller multiplies by act_bound, as train.py:147 does)."""
+        cfg = self.cfg
+        etg_act, swing, stance, _ = self._etg_residual(
+            state.etg_w, state.etg_b, state.step_idx)
+
+        if self.control_mode == MotorControlMode.TORQUE:
+            cmd = action
+            filt_state = state.filter_state
+        else:
+            target = jnp.asarray(a1.INIT_MOTOR_ANGLES) + etg_act + action
+            if self.cfg.train.enable_action_filter:
+                target, filt_state = af.filter_step(
+                    self._filter_b, self._filter_a, state.filter_state, target)
+            else:
+                filt_state = state.filter_state
+            cmd = jnp.clip(target, jnp.asarray(a1.MOTOR_LOWER),
+                           jnp.asarray(a1.MOTOR_UPPER))
+
+        # random push force, resampled each step when enabled
+        rng = state.rng
+        dyn = state.dyn
+        if cfg.random.random_force:
+            rng, k = jax.random.split(rng)
+            dyn = dyn.replace(external_force=randomize.sample_push_force(
+                k, cfg.random.max_force))
+
+        rb = robot_mod.control_step(
+            state.robot, cmd, dyn, cfg.sim, self.h_fn,
+            control_mode=self.control_mode)
+        st = rb.state
+
+        # reward ingredients
+        dx = st.base_pos[0] - state.last_base_pos[0]
+        R_b = math3d.quat_to_mat(st.base_quat)
+        base_vel_w = R_b @ st.base_lin_vel
+        velx = base_vel_w[0]
+        up_z = R_b[2, 2]
+        foot_h = rb.contact.foot_pos[:, 2] - self.h_fn(
+            rb.contact.foot_pos[:, 0], rb.contact.foot_pos[:, 1]) - a1.FOOT_RADIUS
+        knee_contacts = rb.contact.knee_penetration > 0
+        base_contact = rb.contact.base_penetration > 0
+
+        rew, info = reward_mod.compute_reward(
+            cfg.reward, dx, velx, up_z, st.base_ang_vel,
+            rb.applied_torque, foot_h, swing.astype(jnp.float32),
+            stance.astype(jnp.float32), rb.contact.in_contact,
+            knee_contacts, base_contact)
+
+        # termination: rollover / trunk too low / trunk touches ground
+        local_h = self.h_fn(st.base_pos[0], st.base_pos[1])
+        fallen = (up_z < 0.6) | (st.base_pos[2] - local_h <
+                                 cfg.reward.done_height) | base_contact
+        done = fallen | jnp.asarray(donef)
+
+        new_state = EnvState(
+            robot=rb, dyn=state.dyn, etg_w=state.etg_w, etg_b=state.etg_b,
+            step_idx=state.step_idx + 1, rng=rng,
+            last_base_pos=st.base_pos, init_rpy=state.init_rpy,
+            filter_state=filt_state, done=done)
+        obs = self._observe(new_state, etg_act)
+        info["ETG_act"] = etg_act
+        info["success"] = (velx >= 0.3).astype(jnp.float32)
+        return new_state, obs, rew, done, info
+
+    # -- autoreset (for scan-based rollouts) ---------------------------------
+
+    def step_autoreset(self, state: EnvState, action: jnp.ndarray,
+                       donef: jnp.ndarray | bool = False):
+        """Step; where `done`, replace next state by a fresh reset (branch-
+        free). The returned `done` marks the boundary; obs after a done is
+        the fresh episode's first obs — the Brax/Isaac convention."""
+        nstate, obs, rew, done, info = self.step(state, action, donef)
+        rng_new = jax.random.fold_in(state.rng, state.step_idx + 7919)
+        rstate, robs = self.reset(rng_new, state.etg_w, state.etg_b,
+                                  dyn=state.dyn)
+        next_state = jax.tree.map(
+            lambda r, n: jnp.where(
+                jnp.reshape(done, (1,) * r.ndim), r, n), rstate, nstate)
+        next_obs = jnp.where(done, robs, obs)
+        return next_state, next_obs, rew, done, info

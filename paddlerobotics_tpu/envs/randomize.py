@@ -1,0 +1,69 @@
+"""Domain randomization: normalized params → physical DynamicsParams.
+
+`param2dynamic` reproduces the reference's mapping exactly
+(ETGRL/train.py:112-126, duplicated at env_test.py:14-28,
+BCtrain.py:61-75, Dynamic_parallel_model.py:14-27): a [-1,1]⁴⁸ vector
+becomes control latency 0–80 ms, foot friction 0–20, base mass 0.5–3×,
+base/leg inertia scales 0.1–3×, motor kp 20–200 / kd 0–5, and a gravity
+perturbation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from paddlerobotics_tpu.sim.dynamics import DynamicsParams
+
+NUM_DYNAMIC_PARAMS = 48
+
+
+def param2dynamic(params: jnp.ndarray) -> DynamicsParams:
+    """[-1,1]^45 or ^48 normalized vector → DynamicsParams (train.py:112-126)."""
+    p = jnp.clip(params, -1.0, 1.0)
+    latency_ms = jnp.clip(40.0 + 10.0 * p[0], 0.0, 80.0)
+    friction = jnp.clip(0.2 + 10.0 * p[1], 0.0, 20.0)
+    basemass = jnp.clip(1.5 + 1.0 * p[2], 0.5, 3.0)
+    baseinertia = jnp.clip(1.0 + p[3:6], 0.1, 3.0)
+    legmass = jnp.clip(1.0 + p[6:9], 0.1, 3.0)
+    leginertia = jnp.clip(1.0 + p[9:21], 0.1, 3.0).reshape(4, 3)
+    kp = jnp.clip(80.0 + 40.0 * p[21:33], 20.0, 200.0)
+    kd_base = jnp.asarray([1.0, 2.0, 2.0] * 4)
+    kd = jnp.clip(kd_base + p[33:45] * jnp.asarray([1.0, 2.0, 2.0] * 4),
+                  0.0, 5.0)
+    if params.shape[-1] > 45:
+        gravity = jnp.clip(
+            jnp.asarray([0.0, 0.0, -10.0]) + p[45:48] * jnp.asarray([2.0, 2.0, 10.0]),
+            jnp.asarray([-5.0, -5.0, -20.0]), jnp.asarray([5.0, 5.0, -4.0]))
+    else:
+        gravity = jnp.asarray([0.0, 0.0, -9.8])
+    # The reference's "basemass" acts as a scale on chassis mass; friction
+    # multiplies the lateral friction coefficient.
+    return DynamicsParams(
+        base_mass_scale=basemass / 1.5,
+        base_inertia_scale=baseinertia,
+        leg_mass_scale=legmass,
+        leg_inertia_scale=leginertia,
+        motor_kp=kp,
+        motor_kd=kd,
+        foot_friction=friction / 0.6,   # reference default lateral friction
+        control_latency=latency_ms / 1000.0,
+        gravity=gravity,
+        external_force=jnp.zeros(3),
+    )
+
+
+def sample_dynamics(rng: jax.Array, enable: bool = True) -> DynamicsParams:
+    """Sample randomized dynamics (Random_Param_Dict['random_dynamics'])."""
+    if not enable:
+        return DynamicsParams.default()
+    p = jax.random.uniform(rng, (NUM_DYNAMIC_PARAMS,), minval=-1.0, maxval=1.0)
+    return param2dynamic(p)
+
+
+def sample_push_force(rng: jax.Array, max_force: float) -> jnp.ndarray:
+    """Random horizontal push on the trunk (Random_Param_Dict['random_force'])."""
+    d = jax.random.normal(rng, (2,))
+    d = d / (jnp.linalg.norm(d) + 1e-6)
+    mag = jax.random.uniform(rng, ()) * max_force
+    return jnp.concatenate([mag * d, jnp.zeros(1)])

@@ -1,0 +1,58 @@
+"""`make_env` — the entry point mirroring ``rlschool.make_env('Quadrupedal',
+task=..., sensor_mode=..., reward_param=..., ...)`` (ETGRL/train.py:305-309),
+but returning a batched, functional QuadrupedEnv."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from paddlerobotics_tpu.core.config import (
+    QuadrupedConfig, RewardConfig, SensorConfig, TaskConfig, TrainConfig)
+from paddlerobotics_tpu.envs.quadruped_env import QuadrupedEnv
+
+_ENV_REGISTRY = {}
+
+
+def register_env(name: str, factory):
+    _ENV_REGISTRY[name] = factory
+
+
+def make_env(name: str = "Quadrupedal", *,
+             task: str = "ground",
+             config: QuadrupedConfig | None = None,
+             **overrides) -> QuadrupedEnv:
+    """Build a quadruped env.
+
+    Args:
+      name: env family (only 'Quadrupedal', like the reference).
+      task: one of the nine terrain task modes.
+      config: full config (overrides task if its task_mode differs).
+      **overrides: field overrides routed to the right sub-config, e.g.
+        reward_p=5.0, vel_d=0.5, act_mode='traj', step_y=0.05.
+    """
+    if name in _ENV_REGISTRY:
+        return _ENV_REGISTRY[name](task=task, config=config, **overrides)
+    if name != "Quadrupedal":
+        raise ValueError(f"unknown env {name!r}")
+    cfg = config or QuadrupedConfig()
+    cfg = cfg.replace(task=dataclasses.replace(cfg.task, task_mode=task))
+
+    # route keyword overrides into the sub-configs that own them
+    def route(sub, **kw):
+        fields = {f.name for f in dataclasses.fields(sub)}
+        hit = {k: v for k, v in kw.items() if k in fields}
+        return dataclasses.replace(sub, **hit), {
+            k: v for k, v in kw.items() if k not in fields}
+
+    rest = overrides
+    new_reward, rest = route(cfg.reward, **rest)
+    new_task, rest = route(cfg.task, **rest)
+    new_sensors, rest = route(cfg.sensors, **rest)
+    new_etg, rest = route(cfg.etg, **rest)
+    new_train, rest = route(cfg.train, **rest)
+    new_sim, rest = route(cfg.sim, **rest)
+    if rest:
+        raise TypeError(f"unknown make_env overrides: {sorted(rest)}")
+    cfg = cfg.replace(reward=new_reward, task=new_task, sensors=new_sensors,
+                      etg=new_etg, train=new_train, sim=new_sim)
+    return QuadrupedEnv(cfg)

@@ -1,0 +1,101 @@
+"""ETG readout → per-leg foot deltas → joint-space residual gait.
+
+Rebuild of rlschool's ``ETG_model`` [inferred: consumed via
+``env.reset(ETG_w, ETG_b)`` (train.py:131) and surfaced as 12 joint-angle
+deltas in ``info["ETG_act"]`` (env_test.py:54, replayed on hardware at
+deployment/test.py:95-96 as ``action = policy·bound + ETG_act``)].
+
+Mechanics:
+- readout delta(t) = w · V(t) + b gives a foot-position offset (x, 0, z)
+  in the hip frame (w row 1 is zero by construction, train.py:108).
+- the trot pairing mirrors diagonal legs with a half-period phase shift:
+  legs (FR, RL) follow V(t), legs (FL, RR) follow V(t + T/2).
+- a constant lateral offset ±step_y (train.py --step_y) pushes feet
+  outward.
+- joint deltas = IK(default_foot + delta) − default_pose, exactly the
+  residual added to policy actions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from paddlerobotics_tpu.core.config import ETGConfig
+from paddlerobotics_tpu.etg import oscillator
+from paddlerobotics_tpu.sim import a1_model as a1
+
+# Diagonal trot pairing: FR(0) & RL(3) in phase, FL(1) & RR(2) half-period.
+LEG_PHASE_GROUP = np.array([0, 1, 1, 0])
+# Lateral offset sign: right legs (FR, RR) outward is −y, left legs +y.
+LATERAL_SIGN = np.array([-1.0, 1.0, -1.0, 1.0])
+
+
+def default_foot_positions() -> np.ndarray:
+    """Foot positions in base frame at the default standing pose, (4,3).
+
+    Pure numpy (mirrors a1.foot_position_in_hip_frame) so it can be
+    computed at import time without entering a JAX trace.
+    """
+    q = a1.INIT_MOTOR_ANGLES.reshape(4, 3)
+    out = np.zeros((4, 3))
+    for i in range(4):
+        t_ab, t_hip, t_knee = q[i]
+        l_hip = a1.L_HIP * a1.HIP_SIGNS[i]
+        leg = np.sqrt(a1.L_UP**2 + a1.L_LOW**2 +
+                      2 * a1.L_UP * a1.L_LOW * np.cos(t_knee))
+        eff = t_hip + t_knee / 2
+        off_x = -leg * np.sin(eff)
+        off_z_hip = -leg * np.cos(eff)
+        off_y = np.cos(t_ab) * l_hip - np.sin(t_ab) * off_z_hip
+        off_z = np.sin(t_ab) * l_hip + np.cos(t_ab) * off_z_hip
+        out[i] = [off_x, off_y, off_z]
+    return out + a1.HIP_OFFSETS
+
+
+_DEFAULT_FEET = default_foot_positions()
+
+
+def _feet() -> np.ndarray:
+    return _DEFAULT_FEET
+
+
+def foot_deltas(w: jnp.ndarray, b: jnp.ndarray,
+                v_a: jnp.ndarray, v_b: jnp.ndarray,
+                cfg: ETGConfig) -> jnp.ndarray:
+    """Per-leg (4,3) foot-position deltas from readout and the two phase
+    features V(t) and V(t+T/2)."""
+    d_a = w @ v_a + b          # (3,) for phase group 0
+    d_b = w @ v_b + b          # (3,) for phase group 1
+    group = jnp.asarray(LEG_PHASE_GROUP)
+    d = jnp.where(group[:, None] == 0, d_a[None, :], d_b[None, :])
+    lateral = cfg.step_y * jnp.asarray(LATERAL_SIGN)
+    return d.at[:, 1].add(lateral)
+
+
+def etg_joint_residual(w: jnp.ndarray, b: jnp.ndarray,
+                       v_a: jnp.ndarray, v_b: jnp.ndarray,
+                       cfg: ETGConfig) -> jnp.ndarray:
+    """12-dim joint-space gait residual, i.e. the reference's ETG_act."""
+    feet = jnp.asarray(_feet()) + foot_deltas(w, b, v_a, v_b, cfg)
+    q = a1.joint_angles_from_foot_positions(feet)
+    return q - jnp.asarray(a1.INIT_MOTOR_ANGLES)
+
+
+def phase_tables(cfg: ETGConfig, n_steps: int):
+    """Precompute (V(t_k), V(t_k+T/2)) tables for an episode, (n,H) each."""
+    ts = jnp.arange(n_steps) * cfg.dt
+    v_a = oscillator.update(ts, cfg)
+    v_b = oscillator.update(ts + cfg.T / 2.0, cfg)
+    return v_a, v_b
+
+
+def gait_table(w: jnp.ndarray, b: jnp.ndarray, cfg: ETGConfig,
+               n_steps: int) -> jnp.ndarray:
+    """Precomputed (n_steps, 12) ETG_act table — the TPU equivalent of
+    env_test.py's exported gait_action_list npy used for deployment replay."""
+    v_a, v_b = phase_tables(cfg, n_steps)
+    import jax
+
+    return jax.vmap(lambda va, vb: etg_joint_residual(w, b, va, vb, cfg))(
+        v_a, v_b)

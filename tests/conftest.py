@@ -1,12 +1,13 @@
-"""Test configuration: force an 8-device virtual CPU mesh.
+"""Test configuration: force CPU with an 8-device virtual mesh.
 
-Multi-chip sharding paths are validated on virtual CPU devices
-(xla_force_host_platform_device_count) since CI has at most one real TPU.
+The container's axon TPU plugin force-selects platform 'axon' during
+sitecustomize (overriding JAX_PLATFORMS), so we must override back via
+jax.config *after* import. Multi-chip sharding paths are validated on
+virtual CPU devices (xla_force_host_platform_device_count).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu"

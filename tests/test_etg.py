@@ -1,0 +1,91 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerobotics_tpu.core.config import ETGConfig
+from paddlerobotics_tpu.etg import fit as etg_fit
+from paddlerobotics_tpu.etg import model as etg_model
+from paddlerobotics_tpu.etg import oscillator
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ETGConfig()
+
+
+def test_features_periodic(cfg):
+    v0 = oscillator.update(jnp.asarray(0.1), cfg)
+    v1 = oscillator.update(jnp.asarray(0.1 + cfg.T), cfg)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
+    assert v0.shape == (cfg.H,)
+    # RBF features: positive, bounded by 1, peaked somewhere
+    assert float(v0.max()) <= 1.0 + 1e-6
+    assert float(v0.max()) > 0.5
+
+
+def test_fit_passes_through_points(cfg):
+    w, b = etg_fit.opt_with_points(cfg)
+    A = etg_fit.basis_matrix(cfg)
+    pts = etg_fit.prior_points(cfg)
+    recon_x = np.asarray(A @ w[0] + b[0])
+    recon_z = np.asarray(A @ w[2] + b[2])
+    np.testing.assert_allclose(recon_x, pts[:, 0], atol=1e-3)
+    np.testing.assert_allclose(recon_z, pts[:, 1], atol=1e-3)
+    # y row identically zero (train.py:108)
+    assert np.allclose(np.asarray(w[1]), 0)
+
+
+def test_proximal_fit_stays_near_w0(cfg):
+    w0, b0 = etg_fit.opt_with_points(cfg)
+    pts = jnp.asarray(etg_fit.prior_points(cfg)) * 1.05
+    w, b = etg_fit.opt_with_points(cfg, points=pts, w0=w0, b0=b0, lamb=100.0)
+    # huge lambda → nearly unchanged
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w0), atol=0.05)
+
+
+def test_batched_fit_matches_single(cfg):
+    w0, b0 = etg_fit.opt_with_points(cfg)
+    rng = np.random.RandomState(0)
+    pop = jnp.asarray(etg_fit.prior_points(cfg))[None] + \
+        0.01 * rng.randn(8, 6, 2)
+    ws, bs = etg_fit.batched_opt_with_points(cfg, jnp.asarray(pop), w0, b0)
+    w1, b1 = etg_fit.opt_with_points(cfg, points=jnp.asarray(pop[3]),
+                                     w0=w0, b0=b0)
+    np.testing.assert_allclose(np.asarray(ws[3]), np.asarray(w1), atol=1e-4)
+
+
+def test_gait_table_properties(cfg):
+    w, b = etg_fit.opt_with_points(cfg)
+    table = np.asarray(etg_model.gait_table(w, b, cfg, 600))
+    assert table.shape == (600, 12)
+    golden = np.load(
+        "/root/reference/QuadrupedalRobots/ETGRL/gait_action_list_ETG_exp.npy")
+    # Behavioral parity checks vs the reference's exported gait
+    # (env_test.py:54): joint-delta magnitudes in the same regime, knees and
+    # hips oscillating, left/right alternating (trot).
+    assert np.all(np.abs(table) < 1.5)
+    # knee joints (cols 2,5,8,11) must oscillate with meaningful amplitude
+    knee_std = table[:, [2, 5, 8, 11]].std(0)
+    assert np.all(knee_std > 0.05), knee_std
+    gold_knee_std = golden[:, [2, 5, 8, 11]].std(0)
+    assert np.all(knee_std < 3 * gold_knee_std.max())
+    # diagonal legs in phase: FR upper (1) vs RL upper (10) correlated
+    c_diag = np.corrcoef(table[:, 1], table[:, 10])[0, 1]
+    assert c_diag > 0.9
+    # period matches the golden gait's (T/dt ≈ 19.23 control steps):
+    # the signal at lag 19 or 20 must correlate far higher than at lag 10.
+    sig = table[:, 2] - table[:, 2].mean()
+    ac = np.correlate(sig, sig, mode="full")[len(sig) - 1:]
+    ac /= ac[0]
+    assert max(ac[19], ac[20]) > 0.9
+    assert max(ac[19], ac[20]) > ac[10] + 0.3
+
+
+def test_phase_tables_shift(cfg):
+    va, vb = etg_model.phase_tables(cfg, 100)
+    # vb is va shifted by half a period
+    half = cfg.T / 2 / cfg.dt
+    v_direct = oscillator.update(jnp.asarray(5 * cfg.dt + cfg.T / 2), cfg)
+    np.testing.assert_allclose(np.asarray(vb[5]), np.asarray(v_direct),
+                               atol=1e-5)
