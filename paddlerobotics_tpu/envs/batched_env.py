@@ -1,0 +1,317 @@
+"""Batch-native quadruped env over the SoA physics hot path.
+
+This is the production environment: a batch of B envs advances as ONE
+fused XLA program (sim in batch-minor SoA layout, obs/reward as (B,)
+elementwise math, branch-free per-env autoreset). The per-env
+`QuadrupedEnv` (quadruped_env.py) remains as the readable reference
+implementation; `tests/test_batched_env.py` checks the two agree.
+
+API (batch-first, RL-friendly):
+    env = BatchedQuadrupedEnv(config, num_envs)
+    state, obs = env.reset(rng)                 # obs (B, obs_dim)
+    state, obs, rew, done, info = env.step(state, actions)   # actions (B,12)
+
+ETG weights are carried per env ((3,H,B)), so an ES population can give
+every env its own gait, replacing the reference's serial per-candidate
+episodes (train.py:404-408) with one batched rollout.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paddlerobotics_tpu.core.config import QuadrupedConfig
+from paddlerobotics_tpu.envs import randomize, sensors
+from paddlerobotics_tpu.etg import fit as etg_fit
+from paddlerobotics_tpu.etg import model as etg_model
+from paddlerobotics_tpu.etg import oscillator
+from paddlerobotics_tpu.sim import a1_model as a1
+from paddlerobotics_tpu.sim import sbatch, terrain
+from paddlerobotics_tpu.sim.sbatch import BDynParams, BRobot, F32
+
+_DEFAULT_FEET = etg_model._feet()  # (4,3)
+
+
+@struct.dataclass
+class BEnvState:
+    robot: BRobot
+    dyn: BDynParams
+    etg_w: jnp.ndarray      # (3,H,B)
+    etg_b: jnp.ndarray      # (3,B)
+    step_idx: jnp.ndarray   # (B,) int32
+    rng: jax.Array          # single key, folded per step
+    last_x: jnp.ndarray     # (B,) previous base x
+    done: jnp.ndarray       # (B,) bool
+
+
+def _soa_ik(fx, fy, fz):
+    """SoA leg IK: foot position in hip frame (4,B) comps → angles (4,B)×3.
+
+    Same closed form as a1.py:97-110, componentwise.
+    """
+    l_hip = jnp.asarray(a1.HIP_SIGNS, F32).reshape(4, 1) * a1.L_HIP
+    l_up = l_low = a1.L_UP
+    d2 = fx * fx + fy * fy + fz * fz
+    cos_knee = (d2 - l_hip * l_hip - l_low ** 2 - l_up ** 2) / (2 * l_low * l_up)
+    theta_knee = -jnp.arccos(jnp.clip(cos_knee, -1.0, 1.0))
+    l = jnp.sqrt(jnp.maximum(
+        l_up ** 2 + l_low ** 2 + 2 * l_up * l_low * jnp.cos(theta_knee), 1e-12))
+    theta_hip = jnp.arcsin(jnp.clip(-fx / l, -1.0, 1.0)) - theta_knee * 0.5
+    c_eff = jnp.cos(theta_hip + theta_knee * 0.5)
+    c1 = l_hip * fy - l * c_eff * fz
+    s1 = l * c_eff * fy + l_hip * fz
+    theta_ab = jnp.arctan2(s1, c1)
+    return theta_ab, theta_hip, theta_knee
+
+
+class BatchedQuadrupedEnv:
+    def __init__(self, config: QuadrupedConfig, num_envs: int):
+        self.cfg = config
+        self.B = num_envs
+        self.h_fn = terrain.height_fn(config.task)
+        w0, b0 = etg_fit.opt_with_points(config.etg)
+        self._w0 = np.asarray(w0, np.float32)
+        self._b0 = np.asarray(b0, np.float32)
+        # RBF centers as (H,1) constants for SoA phase features
+        self._centers = oscillator.centers(config.etg).astype(np.float32)
+        mode = config.train.act_mode
+        if mode == "pose":
+            self.act_bound = np.array([0.1, 0.7, 0.7] * 4, np.float32)
+        elif mode == "torque":
+            self.act_bound = np.array([10.0] * 12, np.float32)
+        else:
+            self.act_bound = np.full(12, config.train.act_bound, np.float32)
+        self.torque_mode = mode == "torque"
+        h0 = float(np.asarray(self.h_fn(jnp.zeros(()), jnp.zeros(()))))
+        self._spawn_height = 0.27 + h0
+        # lateral step_y offsets per leg
+        self._lat = (config.etg.step_y *
+                     np.asarray(etg_model.LATERAL_SIGN, np.float32))
+
+    @property
+    def obs_dim(self) -> int:
+        return self.cfg.sensors.base_obs_dim
+
+    @property
+    def action_dim(self) -> int:
+        return 12
+
+    def default_etg(self):
+        """Population-shared default (w, b) broadcast to (3,H,B)/(3,B)."""
+        w = jnp.broadcast_to(jnp.asarray(self._w0)[..., None],
+                             self._w0.shape + (self.B,))
+        b = jnp.broadcast_to(jnp.asarray(self._b0)[..., None],
+                             (3, self.B))
+        return w, b
+
+    # -- ETG (SoA) ------------------------------------------------------------
+
+    def _phase_features(self, t: jnp.ndarray) -> jnp.ndarray:
+        """V(t) for per-env times t (B,) → (H,B)."""
+        cfg = self.cfg.etg
+        p1 = cfg.amp * jnp.sin(2 * jnp.pi / cfg.T * t + cfg.phase[0])
+        p2 = cfg.amp * jnp.sin(2 * jnp.pi / cfg.T2 * t + cfg.phase[1])
+        u = jnp.asarray(self._centers)  # (H,2)
+        d2 = (p1[None, :] - u[:, 0:1]) ** 2 + (p2[None, :] - u[:, 1:2]) ** 2
+        return jnp.exp(-d2 / cfg.sigma_sq)
+
+    def _etg_residual(self, etg_w, etg_b, step_idx):
+        """ETG joint residual (12,B), swing/stance masks (4,B), delta z."""
+        dt = self.cfg.etg.dt
+        t = step_idx.astype(F32) * dt
+        v_a = self._phase_features(t)                      # (H,B)
+        v_b = self._phase_features(t + self.cfg.etg.T / 2)
+        # readout: delta[x] = Σ_h w[x,h]·V[h] + b[x]
+        d_a = jnp.einsum("xhb,hb->xb", etg_w, v_a) + etg_b   # (3,B)
+        d_b = jnp.einsum("xhb,hb->xb", etg_w, v_b) + etg_b
+        group = jnp.asarray(etg_model.LEG_PHASE_GROUP)       # (4,)
+        sel = (group[:, None] == 0)
+        dx = jnp.where(sel, d_a[0][None, :], d_b[0][None, :])   # (4,B)
+        dy = jnp.where(sel, d_a[1][None, :], d_b[1][None, :]) + \
+            jnp.asarray(self._lat)[:, None]
+        dz = jnp.where(sel, d_a[2][None, :], d_b[2][None, :])
+        feet = jnp.asarray(_DEFAULT_FEET, F32)               # (4,3)
+        hips = jnp.asarray(a1.HIP_OFFSETS, F32)
+        fx = feet[:, 0:1] - hips[:, 0:1] + dx
+        fy = feet[:, 1:2] - hips[:, 1:2] + dy
+        fz = feet[:, 2:3] - hips[:, 2:3] + dz
+        t_ab, t_hip, t_knee = _soa_ik(fx, fy, fz)
+        q = jnp.stack([t_ab, t_hip, t_knee], axis=1).reshape(12, -1)
+        etg_act = q - jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None]
+        swing = dz > 0.02
+        stance = dz <= 0.005
+        return etg_act, swing, stance
+
+    # -- reset ----------------------------------------------------------------
+
+    def _fresh_robot(self) -> BRobot:
+        return sbatch.init_robot(self.B, height=self._spawn_height)
+
+    def reset(self, rng: jax.Array,
+              etg_w: Optional[jnp.ndarray] = None,
+              etg_b: Optional[jnp.ndarray] = None,
+              dyn: Optional[BDynParams] = None
+              ) -> Tuple[BEnvState, jnp.ndarray]:
+        if etg_w is None or etg_b is None:
+            etg_w, etg_b = self.default_etg()
+        if dyn is None:
+            if self.cfg.random.random_dynamics:
+                keys = jax.random.split(rng, self.B)
+                dp = jax.vmap(randomize.sample_dynamics)(keys)
+                dyn = BDynParams.from_leading(dp)
+            else:
+                dyn = BDynParams.default(self.B)
+        rb = self._fresh_robot()
+        state = BEnvState(
+            robot=rb, dyn=dyn, etg_w=etg_w, etg_b=etg_b,
+            step_idx=jnp.zeros((self.B,), jnp.int32), rng=rng,
+            last_x=rb.s.pos[0], done=jnp.zeros((self.B,), bool))
+        etg_act, _, _ = self._etg_residual(etg_w, etg_b, state.step_idx)
+        return state, self._observe(state, etg_act)
+
+    # -- observation (SoA → (B, obs_dim)) -------------------------------------
+
+    def _observe(self, state: BEnvState, etg_act: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg.sensors
+        rb = state.robot
+        s = rb.s
+        Rb = sbatch.quat_to_mat_cols(s.quat)
+        from paddlerobotics_tpu.ops import smallalg as sa
+        vel_w = sa.mv(Rb, [s.v[0], s.v[1], s.v[2]])   # world base velocity
+        # rpy from quaternion (spawn rpy = 0)
+        qw, qx, qy, qz = s.quat[0], s.quat[1], s.quat[2], s.quat[3]
+        roll = jnp.arctan2(2 * (qw * qx + qy * qz),
+                           1 - 2 * (qx * qx + qy * qy))
+        pitch = jnp.arcsin(jnp.clip(2 * (qw * qy - qz * qx), -1.0, 1.0))
+        yaw = jnp.arctan2(2 * (qw * qz + qx * qy),
+                          1 - 2 * (qy * qy + qz * qz))
+        q_obs, qd_obs = sbatch.delayed_obs(
+            rb, state.dyn.control_latency, self.cfg.sim.control_dt)
+
+        parts = []  # each (k, B)
+        if cfg.dis:
+            parts.append(jnp.stack(vel_w))
+        if cfg.contact:
+            parts.append(rb.contact.foot_contact.astype(F32))
+        if cfg.imu == 1:
+            rpy = jnp.stack([roll, pitch, yaw])
+            drpy = s.w
+            if cfg.normal:
+                parts.append(jnp.concatenate([rpy / 0.1, drpy / 0.5]))
+            else:
+                parts.append(jnp.concatenate([rpy, drpy]))
+        elif cfg.imu == 2:
+            parts.append(s.w / 0.5 if cfg.normal else s.w)
+        if cfg.motor == 1:
+            q0 = jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None]
+            qn = (q_obs - q0) / 0.1 if cfg.normal else q_obs
+            parts.append(jnp.concatenate([qn, qd_obs]))
+        elif cfg.motor == 2:
+            q0 = jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None]
+            parts.append((q_obs - q0) / 0.1 if cfg.normal else q_obs)
+        if cfg.etg:
+            mean = jnp.asarray(sensors.ETG_MEAN, F32)[:, None]
+            std = jnp.asarray(sensors.ETG_STD, F32)[:, None]
+            parts.append((etg_act - mean) / std if cfg.normal else etg_act)
+        obs = jnp.concatenate(parts, axis=0)        # (obs_dim, B)
+        if cfg.noise:
+            k = jax.random.fold_in(state.rng, jnp.sum(state.step_idx) % 65536)
+            obs = obs + 0.01 * jax.random.normal(k, obs.shape)
+        return obs.T                                 # (B, obs_dim)
+
+    # -- step -----------------------------------------------------------------
+
+    def step(self, state: BEnvState, actions: jnp.ndarray,
+             donef: jnp.ndarray | bool = False, autoreset: bool = True):
+        """actions (B,12), already scaled by act_bound (train.py:147).
+
+        Returns (state, obs (B,obs), reward (B,), done (B,), info)."""
+        cfg = self.cfg
+        B = self.B
+        act = actions.T.astype(F32)                 # (12,B)
+        etg_act, swing, stance = self._etg_residual(
+            state.etg_w, state.etg_b, state.step_idx)
+
+        if self.torque_mode:
+            cmd = act
+        else:
+            cmd = jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None] + etg_act + act
+            cmd = jnp.clip(cmd, jnp.asarray(a1.MOTOR_LOWER, F32)[:, None],
+                           jnp.asarray(a1.MOTOR_UPPER, F32)[:, None])
+
+        rng = jax.random.fold_in(state.rng, jnp.asarray(17, jnp.uint32))
+        dyn = state.dyn
+        if cfg.random.random_force:
+            kf = jax.random.fold_in(rng, jnp.asarray(3, jnp.uint32))
+            d = jax.random.normal(kf, (2, B))
+            d = d / (jnp.sqrt(d[0] ** 2 + d[1] ** 2) + 1e-6)
+            mag = jax.random.uniform(kf, (B,)) * cfg.random.max_force
+            dyn = dyn._replace(external_force=jnp.stack(
+                [mag * d[0], mag * d[1], jnp.zeros(B)]))
+
+        rb = sbatch.control_step(state.robot, cmd, dyn, cfg.sim, self.h_fn,
+                                 torque_mode=self.torque_mode)
+        s = rb.s
+
+        # reward terms (all (B,))
+        dx = s.pos[0] - state.last_x
+        Rb = sbatch.quat_to_mat_cols(s.quat)
+        velx = Rb[0][0] * s.v[0] + Rb[0][1] * s.v[1] + Rb[0][2] * s.v[2]
+        up_z = Rb[2][2]
+        foot_h = (rb.contact.foot_pos[2] -
+                  self.h_fn(rb.contact.foot_pos[0], rb.contact.foot_pos[1]) -
+                  a1.FOOT_RADIUS)                   # (4,B)
+        rcfg = cfg.reward
+        r_torso = jnp.minimum(dx, rcfg.vel_d * 0.026 * 2.0)
+        r_up = (up_z - 1.0) - 0.05 * (s.w[0] ** 2 + s.w[1] ** 2)
+        clear = jnp.clip(foot_h, 0.0, 0.06) / 0.06
+        sw = swing.astype(F32)
+        n_swing = jnp.maximum(jnp.sum(sw, axis=0), 1.0)
+        r_feet = jnp.sum(clear * sw, axis=0) / n_swing * 0.026
+        r_tau = -1e-4 * jnp.sum(rb.tau ** 2, axis=0)
+        r_stand = -jnp.abs(velx) * 0.026
+        r_badfoot = -(jnp.sum(rb.contact.knee_contact.astype(F32), axis=0) +
+                      rb.contact.base_contact.astype(F32)) * 0.026
+        miss = stance.astype(F32) * (1.0 - rb.contact.foot_contact.astype(F32))
+        r_footcontact = -jnp.sum(miss, axis=0) * 0.026
+        reward = rcfg.reward_p * (
+            rcfg.torso * r_torso + rcfg.up * r_up + rcfg.feet * r_feet +
+            rcfg.tau * r_tau + rcfg.stand * r_stand +
+            rcfg.badfoot * r_badfoot + rcfg.footcontact * r_footcontact)
+
+        local_h = self.h_fn(s.pos[0], s.pos[1])
+        fallen = ((up_z < 0.6) |
+                  (s.pos[2] - local_h < rcfg.done_height) |
+                  rb.contact.base_contact)
+        done = fallen | jnp.broadcast_to(jnp.asarray(donef), fallen.shape)
+
+        new_state = BEnvState(
+            robot=rb, dyn=state.dyn, etg_w=state.etg_w, etg_b=state.etg_b,
+            step_idx=state.step_idx + 1, rng=rng,
+            last_x=s.pos[0], done=done)
+
+        if autoreset:
+            fresh = self._fresh_robot()
+            sel_r = lambda f, n: jnp.where(
+                done.reshape((1,) * (n.ndim - 1) + (-1,)), f, n)
+            rb_next = jax.tree.map(sel_r, fresh, new_state.robot)
+            new_state = new_state.replace(
+                robot=rb_next,
+                step_idx=jnp.where(done, 0, new_state.step_idx),
+                last_x=jnp.where(done, fresh.s.pos[0], new_state.last_x))
+
+        etg_next, _, _ = self._etg_residual(
+            new_state.etg_w, new_state.etg_b, new_state.step_idx)
+        obs = self._observe(new_state, etg_next)
+        info = {
+            "torso": r_torso, "up": r_up, "feet": r_feet, "tau": r_tau,
+            "stand": r_stand, "badfoot": r_badfoot,
+            "footcontact": r_footcontact, "velx": velx, "rew": reward,
+            "ETG_act": etg_act.T, "success": (velx >= 0.3).astype(F32),
+        }
+        return new_state, obs, reward, done, info

@@ -138,7 +138,8 @@ class QuadrupedEnv:
             filter_state=af.init_filter_state(
                 self._filter_b, self._filter_a, rb.state.q),
             done=jnp.zeros((), bool))
-        obs = self._observe(state, jnp.zeros(12))
+        etg_act, _, _, _ = self._etg_residual(etg_w, etg_b, state.step_idx)
+        obs = self._observe(state, etg_act)
         return state, obs
 
     # -- observation ---------------------------------------------------------

@@ -1,0 +1,111 @@
+"""Equivalence of the SoA (batch-last) physics vs the per-env vmapped path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerobotics_tpu.core.config import SimConfig, TaskConfig
+from paddlerobotics_tpu.sim import a1_model as a1
+from paddlerobotics_tpu.sim import dynamics, robot, sbatch, terrain
+from paddlerobotics_tpu.sim.dynamics import DynamicsParams
+from paddlerobotics_tpu.sim.motor import MotorControlMode
+
+
+@pytest.fixture(scope="module")
+def flat():
+    return terrain.height_fn(TaskConfig(task_mode="ground"))
+
+
+def aos_to_soa(rb: robot.RobotState, B: int) -> sbatch.BRobot:
+    """Build a BRobot replicating one per-env RobotState B times."""
+    st = rb.state
+    rep = lambda x, shape: jnp.broadcast_to(
+        jnp.asarray(x, jnp.float32).reshape(shape + (1,)), shape + (B,))
+    s = sbatch.BQuadState(
+        pos=rep(st.base_pos, (3,)), quat=rep(st.base_quat, (4,)),
+        w=rep(st.base_ang_vel, (3,)), v=rep(st.base_lin_vel, (3,)),
+        q=rep(st.q, (12,)), qd=rep(st.qd, (12,)))
+    contact = sbatch.BContact(
+        foot_pos=jnp.zeros((3, 4, B)),
+        foot_contact=jnp.zeros((4, B), bool),
+        knee_contact=jnp.zeros((4, B), bool),
+        base_contact=jnp.zeros((B,), bool))
+    hist = jnp.broadcast_to(s.q[None], (sbatch.OBS_HIST_LEN, 12, B))
+    return sbatch.BRobot(
+        s=s, q_prev=s.q, qd_prev=s.qd, last_action=s.q,
+        tau=jnp.zeros((12, B)), contact=contact,
+        q_obs_hist=hist, qd_obs_hist=jnp.zeros_like(hist))
+
+
+def test_soa_matches_vmap_path(flat):
+    """Step both implementations 5 control steps from the same state with
+    the same latency model (1 substep) and compare trajectories."""
+    cfg = SimConfig(control_latency=0.0)
+    B = 3
+    params = DynamicsParams.default().replace(
+        control_latency=jnp.asarray(0.0))
+    rb_aos = robot.init_robot_state(cfg, height=0.30)
+    rb_soa = aos_to_soa(rb_aos, B)
+    bparams = sbatch.BDynParams.default(B)
+
+    target = jnp.asarray(a1.INIT_MOTOR_ANGLES) + 0.05
+    targets_b = jnp.broadcast_to(target[:, None], (12, B))
+
+    step_aos = jax.jit(lambda r: robot.control_step(r, target, params, cfg, flat))
+    step_soa = jax.jit(lambda r: sbatch.control_step(r, targets_b, bparams,
+                                                     cfg, flat))
+    for i in range(5):
+        rb_aos = step_aos(rb_aos)
+        rb_soa = step_soa(rb_soa)
+        q_a = np.asarray(rb_aos.state.q)
+        q_s = np.asarray(rb_soa.s.q[:, 0])
+        np.testing.assert_allclose(q_s, q_a, atol=2e-3,
+                                   err_msg=f"diverged at step {i}")
+    np.testing.assert_allclose(np.asarray(rb_soa.s.pos[:, 0]),
+                               np.asarray(rb_aos.state.base_pos), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rb_soa.s.quat[:, 0]),
+                               np.asarray(rb_aos.state.base_quat), atol=2e-3)
+
+
+def test_soa_free_fall():
+    cfg = SimConfig()
+    B = 2
+    bparams = sbatch.BDynParams.default(B)
+    rb = sbatch.init_robot(B, height=10.0)
+    h_fn = lambda x, y: jnp.full_like(x, -100.0)
+    step = jax.jit(lambda r: sbatch.control_step(
+        r, jnp.zeros((12, B)), bparams, cfg, h_fn, torque_mode=True))
+    for _ in range(5):
+        rb = step(rb)
+    t = 5 * cfg.control_dt
+    # base z velocity (world ≈ base frame, no rotation without torque):
+    vz = float(rb.s.v[2, 0])
+    np.testing.assert_allclose(vz, -9.8 * t, rtol=5e-2)
+
+
+def test_soa_stand(flat):
+    cfg = SimConfig()
+    B = 2
+    bparams = sbatch.BDynParams.default(B)
+    rb = sbatch.init_robot(B, height=0.30)
+    target = jnp.broadcast_to(
+        jnp.asarray(a1.INIT_MOTOR_ANGLES)[:, None], (12, B))
+    step = jax.jit(lambda r: sbatch.control_step(r, target, bparams, cfg, flat))
+    for _ in range(80):
+        rb = step(rb)
+    h = float(rb.s.pos[2, 0])
+    assert 0.2 < h < 0.35, h
+    assert abs(float(rb.s.quat[0, 0])) > 0.98
+    assert float(jnp.abs(rb.s.qd).max()) < 2.0
+
+
+def test_delayed_obs_weights():
+    B = 3
+    rb = sbatch.init_robot(B, height=0.3)
+    # fill hist with distinct values per slot
+    hist = jnp.stack([jnp.full((12, B), float(i)) for i in range(4)])
+    rb = rb.replace(q_obs_hist=hist, qd_obs_hist=hist)
+    latency = jnp.asarray([0.0, 0.026, 0.039])  # 0, 1, 1.5 control steps
+    q, qd = sbatch.delayed_obs(rb, latency, 0.026)
+    np.testing.assert_allclose(np.asarray(q[0]), [0.0, 1.0, 1.5], atol=1e-5)
