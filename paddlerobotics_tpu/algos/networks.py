@@ -1,0 +1,73 @@
+"""Actor/critic networks matching the reference architecture.
+
+Rebuild of model/mujoco_model.py: Actor = 2×256 ReLU MLP with mean and
+clamped log-std heads (LOG_SIG_MIN/MAX −20/2, mujoco_model.py:21-22);
+Critic = twin Q MLPs on concat(obs, act) (mujoco_model.py:63-89).
+Flax linen; bfloat16-friendly widths (256 = 2×128 MXU lanes).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+LOG_SIG_MIN = -20.0
+LOG_SIG_MAX = 2.0
+
+
+class Actor(nn.Module):
+    action_dim: int
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = nn.relu(nn.Dense(self.hidden)(obs))
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        mean = nn.Dense(self.action_dim)(x)
+        log_std = nn.Dense(self.action_dim)(x)
+        log_std = jnp.clip(log_std, LOG_SIG_MIN, LOG_SIG_MAX)
+        return mean, log_std
+
+
+class Critic(nn.Module):
+    """Twin Q networks evaluated in one pass."""
+
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, act: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = jnp.concatenate([obs, act], axis=-1)
+        q1 = nn.relu(nn.Dense(self.hidden)(x))
+        q1 = nn.relu(nn.Dense(self.hidden)(q1))
+        q1 = nn.Dense(1)(q1)
+        q2 = nn.relu(nn.Dense(self.hidden)(x))
+        q2 = nn.relu(nn.Dense(self.hidden)(q2))
+        q2 = nn.Dense(1)(q2)
+        return q1, q2
+
+
+class GRUActor(nn.Module):
+    """Recurrent actor for sensor_mode RNN='GRU' (EnvWrapper.py:216-217):
+    consumes a (T, obs) history stack, encodes with a GRU, then the same
+    mean/log-std heads."""
+
+    action_dim: int
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, obs_seq: jnp.ndarray):
+        # obs_seq (..., T, obs_dim)
+        gru = nn.GRUCell(features=self.hidden)
+        carry = jnp.zeros(obs_seq[..., 0, :].shape[:-1] + (self.hidden,),
+                          obs_seq.dtype)
+        x = carry
+        for t in range(obs_seq.shape[-2]):
+            carry, x = gru(carry, obs_seq[..., t, :])
+        x = nn.relu(nn.Dense(self.hidden)(x))
+        mean = nn.Dense(self.action_dim)(x)
+        log_std = jnp.clip(nn.Dense(self.action_dim)(x),
+                           LOG_SIG_MIN, LOG_SIG_MAX)
+        return mean, log_std

@@ -1,0 +1,140 @@
+"""Soft Actor-Critic as pure-functional JAX (rebuild of alg/sac.py).
+
+Exact recipe parity with the reference (alg/sac.py:24-118):
+- tanh-squashed Gaussian policy, reparameterized sample, log-prob with
+  the −log(1−tanh²+1e−6) bound correction (sac.py:65-75);
+- twin-Q targets: min(Q1', Q2') − α·logπ, bootstrapped with the
+  `terminal` mask convention of train.py:148-149;
+- Polyak target sync with τ (sac.py:112-118);
+- Adam on actor and critic with separate learning rates.
+
+Everything is a pure function of (SACState, batch, rng) → (SACState,
+losses); the whole learn step jits and fuses into the rollout when used
+inside the training scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from paddlerobotics_tpu.algos.networks import Actor, Critic
+from paddlerobotics_tpu.core.config import SACConfig
+
+
+class SACState(NamedTuple):
+    actor_params: dict
+    critic_params: dict
+    target_critic_params: dict
+    actor_opt: optax.OptState
+    critic_opt: optax.OptState
+
+
+class SAC:
+    """Holds static config + module defs; all methods pure."""
+
+    def __init__(self, obs_dim: int, action_dim: int,
+                 cfg: SACConfig = SACConfig()):
+        self.cfg = cfg
+        self.obs_dim = obs_dim
+        self.action_dim = action_dim
+        self.actor = Actor(action_dim, hidden=cfg.hidden_dim)
+        self.critic = Critic(hidden=cfg.hidden_dim)
+        self.actor_tx = optax.adam(cfg.actor_lr)
+        self.critic_tx = optax.adam(cfg.critic_lr)
+
+    def init(self, rng: jax.Array) -> SACState:
+        k1, k2 = jax.random.split(rng)
+        obs = jnp.zeros((1, self.obs_dim))
+        act = jnp.zeros((1, self.action_dim))
+        actor_params = self.actor.init(k1, obs)
+        critic_params = self.critic.init(k2, obs, act)
+        return SACState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_critic_params=jax.tree.map(lambda x: x, critic_params),
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params))
+
+    # -- inference ------------------------------------------------------------
+
+    def predict(self, actor_params, obs: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic action = tanh(mean) (sac.py:60-63)."""
+        mean, _ = self.actor.apply(actor_params, obs)
+        return jnp.tanh(mean)
+
+    def sample(self, actor_params, obs: jnp.ndarray, rng: jax.Array
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Reparameterized tanh-Gaussian sample + log prob (sac.py:65-75)."""
+        mean, log_std = self.actor.apply(actor_params, obs)
+        std = jnp.exp(log_std)
+        noise = jax.random.normal(rng, mean.shape)
+        x_t = mean + std * noise
+        action = jnp.tanh(x_t)
+        log_prob = (-0.5 * (noise ** 2) - log_std -
+                    0.5 * jnp.log(2.0 * jnp.pi))
+        log_prob = log_prob - jnp.log(1.0 - action ** 2 + 1e-6)
+        return action, jnp.sum(log_prob, axis=-1, keepdims=True)
+
+    # -- learning -------------------------------------------------------------
+
+    def learn(self, state: SACState, batch, rng: jax.Array
+              ) -> Tuple[SACState, dict]:
+        """One (critic, actor, target-sync) update (sac.py:77-110).
+
+        batch: dict with obs (B,o), act (B,a), rew (B,1), next_obs (B,o),
+        terminal (B,1) — terminal already in the 1−done convention of
+        train.py:148-149.
+        """
+        cfg = self.cfg
+        k_next, k_pi = jax.random.split(rng)
+
+        # critic update
+        next_act, next_logp = self.sample(state.actor_params,
+                                          batch["next_obs"], k_next)
+        q1_t, q2_t = self.critic.apply(state.target_critic_params,
+                                       batch["next_obs"], next_act)
+        target_q = jnp.minimum(q1_t, q2_t) - cfg.alpha * next_logp
+        target_q = batch["rew"] + cfg.gamma * batch["terminal"] * target_q
+        target_q = jax.lax.stop_gradient(target_q)
+
+        def critic_loss_fn(params):
+            q1, q2 = self.critic.apply(params, batch["obs"], batch["act"])
+            return (jnp.mean((q1 - target_q) ** 2) +
+                    jnp.mean((q2 - target_q) ** 2))
+
+        critic_loss, critic_grads = jax.value_and_grad(critic_loss_fn)(
+            state.critic_params)
+        c_updates, critic_opt = self.critic_tx.update(
+            critic_grads, state.critic_opt)
+        critic_params = optax.apply_updates(state.critic_params, c_updates)
+
+        # actor update (against the updated critic, like the sequential
+        # torch updates in sac.py:77-82)
+        def actor_loss_fn(params):
+            act, logp = self.sample(params, batch["obs"], k_pi)
+            q1, q2 = self.critic.apply(critic_params, batch["obs"], act)
+            min_q = jnp.minimum(q1, q2)
+            return jnp.mean(cfg.alpha * logp - min_q)
+
+        actor_loss, actor_grads = jax.value_and_grad(actor_loss_fn)(
+            state.actor_params)
+        a_updates, actor_opt = self.actor_tx.update(
+            actor_grads, state.actor_opt)
+        actor_params = optax.apply_updates(state.actor_params, a_updates)
+
+        # Polyak sync (sac.py:112-118)
+        tau = cfg.tau
+        target_params = jax.tree.map(
+            lambda t, s: (1.0 - tau) * t + tau * s,
+            state.target_critic_params, critic_params)
+
+        new_state = SACState(
+            actor_params=actor_params, critic_params=critic_params,
+            target_critic_params=target_params,
+            actor_opt=actor_opt, critic_opt=critic_opt)
+        return new_state, {"critic_loss": critic_loss,
+                           "actor_loss": actor_loss}

@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerobotics_tpu.algos import replay
+from paddlerobotics_tpu.algos.sac import SAC
+from paddlerobotics_tpu.core.config import SACConfig
+
+
+@pytest.fixture(scope="module")
+def sac():
+    return SAC(obs_dim=8, action_dim=3, cfg=SACConfig())
+
+
+def test_init_and_predict(sac):
+    state = sac.init(jax.random.key(0))
+    obs = jnp.ones((5, 8))
+    act = sac.predict(state.actor_params, obs)
+    assert act.shape == (5, 3)
+    assert float(jnp.max(jnp.abs(act))) <= 1.0
+
+
+def test_sample_logprob_formula(sac):
+    """log_prob must equal the tanh-Gaussian density (sac.py:65-75)."""
+    state = sac.init(jax.random.key(0))
+    obs = jax.random.normal(jax.random.key(1), (64, 8))
+    act, logp = sac.sample(state.actor_params, obs, jax.random.key(2))
+    assert act.shape == (64, 3)
+    assert logp.shape == (64, 1)
+    # compare against a numpy recomputation
+    mean, log_std = sac.actor.apply(state.actor_params, obs)
+    x_t = jnp.arctanh(jnp.clip(act, -1 + 1e-6, 1 - 1e-6))
+    mean, log_std, x_t, act_n = map(np.asarray, (mean, log_std, x_t, act))
+    std = np.exp(log_std)
+    lp = -0.5 * ((x_t - mean) / std) ** 2 - log_std - 0.5 * np.log(2 * np.pi)
+    lp = lp - np.log(1 - act_n ** 2 + 1e-6)
+    np.testing.assert_allclose(np.asarray(logp)[:, 0], lp.sum(-1), atol=1e-2)
+
+
+def test_learn_reduces_critic_loss(sac):
+    state = sac.init(jax.random.key(0))
+    rng = jax.random.key(3)
+    B = 128
+    batch = {
+        "obs": jax.random.normal(jax.random.key(4), (B, 8)),
+        "act": jnp.tanh(jax.random.normal(jax.random.key(5), (B, 3))),
+        "rew": jnp.ones((B, 1)),
+        "next_obs": jax.random.normal(jax.random.key(6), (B, 8)),
+        "terminal": jnp.ones((B, 1)),
+    }
+    learn = jax.jit(lambda s, r: sac.learn(s, batch, r))
+    first = None
+    for i in range(60):
+        rng, k = jax.random.split(rng)
+        state, info = learn(state, k)
+        if first is None:
+            first = float(info["critic_loss"])
+    last = float(info["critic_loss"])
+    assert last < first, (first, last)
+
+
+def test_target_sync_polyak(sac):
+    state = sac.init(jax.random.key(0))
+    batch = {
+        "obs": jnp.zeros((4, 8)), "act": jnp.zeros((4, 3)),
+        "rew": jnp.zeros((4, 1)), "next_obs": jnp.zeros((4, 8)),
+        "terminal": jnp.ones((4, 1)),
+    }
+    state2, _ = sac.learn(state, batch, jax.random.key(1))
+    # target must move toward critic by tau
+    t0 = jax.tree.leaves(state.target_critic_params)[0]
+    c1 = jax.tree.leaves(state2.critic_params)[0]
+    t1 = jax.tree.leaves(state2.target_critic_params)[0]
+    expect = (1 - sac.cfg.tau) * t0 + sac.cfg.tau * c1
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(expect), atol=1e-6)
+
+
+def test_replay_roundtrip():
+    buf = replay.create(100, 8, 3)
+    obs = jnp.arange(10 * 8, dtype=jnp.float32).reshape(10, 8)
+    act = jnp.ones((10, 3))
+    buf = replay.add_batch(buf, obs, act, jnp.ones(10), obs + 1, jnp.ones(10))
+    assert int(buf.size) == 10
+    batch = replay.sample(buf, jax.random.key(0), 4)
+    assert batch["obs"].shape == (4, 8)
+    # sampled rows must be rows we inserted
+    first_col = np.asarray(batch["obs"][:, 0])
+    assert np.all(first_col % 8 == 0)
+
+
+def test_replay_ring_wrap():
+    buf = replay.create(16, 2, 1)
+    for i in range(5):
+        obs = jnp.full((6, 2), float(i))
+        buf = replay.add_batch(buf, obs, jnp.zeros((6, 1)), jnp.zeros(6),
+                               obs, jnp.ones(6))
+    assert int(buf.size) == 16
+    assert int(buf.ptr) == (5 * 6) % 16
