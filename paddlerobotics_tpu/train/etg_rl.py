@@ -1,0 +1,309 @@
+"""ETG-RL dual-loop trainer: SAC residual policy + ES-optimized gait.
+
+TPU-native rebuild of the reference's main recipe (ETGRL/train.py:
+252-449): the serial per-episode loop becomes batched autoreset rollouts
+(`lax.scan` over control steps × B envs in one jitted program), and the
+ES phase evaluates the entire population in ONE rollout — each candidate
+gait is fitted (batched least squares) and assigned to a slice of envs,
+replacing 40 serial 400-step episodes (train.py:404-408) and the xparl
+actor fan-out with a single compiled program.
+
+Schedule parity (train.py:34-47, 354-437):
+- SAC: batch 256, γ .99, τ .005, α .2, lr 3e-4, warmup 1e4 env steps,
+  replay 1e6; episode cap e_step 400 → +50 per eval window → 600.
+- ES: every 5e4 env steps, 10 generations of SimpleGA (popsize 40,
+  σ 0.02→0.005 ×0.99, elite 10%, weight decay 0.005) over 12 control-
+  point offsets; optional replay of ES rollouts into the SAC buffer
+  (--es_rpm, train.py:240-241).
+- eval every 1e4 env steps (600-step deterministic episodes), checkpoint
+  via Orbax (params + ES state + ETG (w,b) + RNG), mirroring the .pt +
+  .npz pairs of train.py:386-390.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paddlerobotics_tpu.algos import es as es_mod
+from paddlerobotics_tpu.algos import replay
+from paddlerobotics_tpu.algos.sac import SAC, SACState
+from paddlerobotics_tpu.core.config import QuadrupedConfig
+from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv, BEnvState
+from paddlerobotics_tpu.etg import fit as etg_fit
+from paddlerobotics_tpu.train import checkpoints, metrics as metrics_mod
+
+INFO_CHANNELS = ("torso", "up", "feet", "tau", "stand", "badfoot",
+                 "footcontact", "velx", "success")
+
+
+class TrainCarry(NamedTuple):
+    env_state: BEnvState
+    obs: jnp.ndarray
+    sac_state: SACState
+    buffer: replay.ReplayBuffer
+    rng: jax.Array
+
+
+class ETGRLTrainer:
+    def __init__(self, config: QuadrupedConfig, num_envs: int | None = None,
+                 outdir: str = "train_log", updates_per_step: int = 1,
+                 use_tensorboard: bool = False):
+        self.cfg = config
+        self.B = num_envs or config.train.num_envs
+        self.env = BatchedQuadrupedEnv(config, self.B)
+        self.sac = SAC(self.env.obs_dim, 12, config.sac)
+        ecfg = config.es
+        self.solver = es_mod.SimpleGA(
+            ecfg.num_params, sigma_init=ecfg.sigma_init,
+            sigma_decay=ecfg.sigma_decay, sigma_limit=ecfg.sigma_limit,
+            popsize=ecfg.popsize, elite_ratio=ecfg.elite_ratio,
+            weight_decay=ecfg.weight_decay)
+        self.updates_per_step = updates_per_step
+        self.outdir = outdir
+        self.logger = metrics_mod.MetricsLogger(outdir, use_tensorboard)
+        self.act_bound = jnp.asarray(self.env.act_bound)
+
+        self._prior_points = jnp.asarray(etg_fit.prior_points(config.etg))
+        w0, b0 = etg_fit.opt_with_points(config.etg)
+        self._w0, self._b0 = w0, b0
+
+        # jitted phase programs (built lazily per chunk length)
+        self._rollout_cache = {}
+
+    # -- ETG fitting ---------------------------------------------------------
+
+    def fit_etg(self, param12: jnp.ndarray):
+        """12 ES params → proximally-refit (w, b) (train.py:350-352)."""
+        pts = self._prior_points + param12.reshape(6, 2)
+        return etg_fit.opt_with_points(self.cfg.etg, points=pts,
+                                       w0=self._w0, b0=self._b0)
+
+    def fit_etg_population(self, params: jnp.ndarray):
+        """(P,12) → (P,3,H), (P,3)."""
+        pts = self._prior_points[None] + params.reshape(-1, 6, 2)
+        return etg_fit.batched_opt_with_points(
+            self.cfg.etg, pts, self._w0, self._b0)
+
+    def _broadcast_etg(self, w, b):
+        """(3,H)/(3,) → batch-minor (3,H,B)/(3,B)."""
+        B = self.B
+        return (jnp.broadcast_to(w[..., None], w.shape + (B,)),
+                jnp.broadcast_to(b[..., None], b.shape + (B,)))
+
+    # -- SAC rollout+learn chunk ---------------------------------------------
+
+    def _make_rollout(self, n_steps: int, warm: bool):
+        env, sac, cfg = self.env, self.sac, self.cfg
+
+        def chunk(carry: TrainCarry, e_step: jnp.ndarray):
+            def body(c: TrainCarry, _):
+                rng, k_act, k_samp, k_learn = jax.random.split(c.rng, 4)
+                if warm:
+                    action, _ = sac.sample(c.sac_state.actor_params, c.obs,
+                                           k_act)
+                else:
+                    action = jax.random.uniform(
+                        k_act, (self.B, 12), minval=-1.0, maxval=1.0)
+                donef = (c.env_state.step_idx + 1) > e_step
+                nstate, nobs, rew, done, info = env.step(
+                    c.env_state, action * self.act_bound, donef)
+                terminal = 1.0 - done.astype(jnp.float32)  # train.py:148-149
+                buf = replay.add_batch(c.buffer, c.obs, action, rew, nobs,
+                                       terminal)
+                sac_state = c.sac_state
+                losses = {"critic_loss": jnp.zeros(()),
+                          "actor_loss": jnp.zeros(())}
+                if warm:
+                    for i in range(self.updates_per_step):
+                        k_learn, k_b, k_u = jax.random.split(k_learn, 3)
+                        batch = replay.sample(buf, k_b, cfg.sac.batch_size)
+                        sac_state, losses = sac.learn(sac_state, batch, k_u)
+                out = {"reward": jnp.mean(rew),
+                       "done_frac": jnp.mean(done.astype(jnp.float32)),
+                       **{k: jnp.mean(info[k]) for k in INFO_CHANNELS},
+                       **losses}
+                return TrainCarry(nstate, nobs, sac_state, buf, rng), out
+
+            carry, outs = jax.lax.scan(body, carry, None, length=n_steps)
+            return carry, jax.tree.map(jnp.mean, outs)
+
+        return jax.jit(chunk)
+
+    def rollout_chunk(self, carry, e_step: int, n_steps: int, warm: bool):
+        key = (n_steps, warm)
+        if key not in self._rollout_cache:
+            self._rollout_cache[key] = self._make_rollout(n_steps, warm)
+        return self._rollout_cache[key](carry, jnp.asarray(e_step))
+
+    # -- ES population evaluation --------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6))
+    def es_eval(self, actor_params, etg_w_pop, etg_b_pop, rng,
+                n_steps: int, popsize: int):
+        """Evaluate a population in one batched rollout.
+
+        etg_w_pop (P,3,H), etg_b_pop (P,3). Each candidate runs on B//P
+        envs with the frozen deterministic policy (run_EStrain_episode,
+        train.py:213-249). Returns per-candidate mean return and mean
+        episode length.
+        """
+        B, P = self.B, popsize
+        cand = jnp.repeat(jnp.arange(P), B // P, total_repeat_length=B)
+        w_env = jnp.moveaxis(etg_w_pop[cand], 0, -1)   # (3,H,B)
+        b_env = jnp.moveaxis(etg_b_pop[cand], 0, -1)   # (3,B)
+        state, obs = self.env.reset(rng, etg_w=w_env, etg_b=b_env)
+
+        def body(c, _):
+            state, obs, ret, alive, steps = c
+            action = self.sac.predict(actor_params, obs)
+            nstate, nobs, rew, done, info = self.env.step(
+                state, action * self.act_bound, autoreset=False)
+            ret = ret + rew * alive
+            steps = steps + alive
+            alive = alive * (1.0 - done.astype(jnp.float32))
+            return (nstate, nobs, ret, alive, steps), None
+
+        init = (state, obs, jnp.zeros(B), jnp.ones(B), jnp.zeros(B))
+        (state, obs, ret, alive, steps), _ = jax.lax.scan(
+            body, init, None, length=n_steps)
+        seg = cand
+        fitness = jax.ops.segment_sum(ret, seg, num_segments=P) / (B // P)
+        ep_len = jax.ops.segment_sum(steps, seg, num_segments=P) / (B // P)
+        return fitness, ep_len
+
+    # -- evaluation ----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def evaluate(self, actor_params, etg_w, etg_b, n_steps: int,
+                 rng=None):
+        """Deterministic eval (run_evaluate_episodes, train.py:182-211)."""
+        rng = jax.random.key(0) if rng is None else rng
+        w_env, b_env = self._broadcast_etg(etg_w, etg_b)
+        state, obs = self.env.reset(rng, etg_w=w_env, etg_b=b_env)
+
+        def body(c, _):
+            state, obs, ret, alive, steps, infos = c
+            action = self.sac.predict(actor_params, obs)
+            nstate, nobs, rew, done, info = self.env.step(
+                state, action * self.act_bound, autoreset=False)
+            ret = ret + rew * alive
+            steps = steps + alive
+            infos = {k: infos[k] + jnp.mean(info[k] * alive)
+                     for k in INFO_CHANNELS}
+            alive = alive * (1.0 - done.astype(jnp.float32))
+            return (nstate, nobs, ret, alive, steps, infos), None
+
+        infos0 = {k: jnp.zeros(()) for k in INFO_CHANNELS}
+        init = (state, obs, jnp.zeros(self.B), jnp.ones(self.B),
+                jnp.zeros(self.B), infos0)
+        (state, obs, ret, alive, steps, infos), _ = jax.lax.scan(
+            body, init, None, length=n_steps)
+        return jnp.mean(ret), jnp.mean(steps), infos
+
+    # -- main loop -----------------------------------------------------------
+
+    def train(self, max_steps: int | None = None,
+              chunk_steps: int = 50, seed: int = 0,
+              checkpoint: bool = True):
+        cfg = self.cfg
+        tcfg = cfg.train
+        max_steps = max_steps or tcfg.max_steps
+        rng = jax.random.key(seed)
+        rng, k_env, k_sac, k_es = jax.random.split(rng, 4)
+
+        es_state = self.solver.init(jnp.zeros(cfg.es.num_params))
+        etg_best_param = jnp.zeros(cfg.es.num_params)
+        w, b = self.fit_etg(etg_best_param)
+
+        w_env, b_env = self._broadcast_etg(w, b)
+        env_state, obs = jax.jit(self.env.reset)(k_env, w_env, b_env)
+        sac_state = self.sac.init(k_sac)
+        buf = replay.create(cfg.sac.memory_size, self.env.obs_dim, 12)
+        carry = TrainCarry(env_state, obs, sac_state, buf, rng)
+
+        total_steps = 0
+        e_step = tcfg.e_step
+        test_flag = 0
+        es_flag = 0
+        es_gen = 0
+
+        while total_steps < max_steps:
+            warm = total_steps >= cfg.sac.warmup_steps
+            carry, out = self.rollout_chunk(carry, e_step, chunk_steps, warm)
+            total_steps += chunk_steps * self.B
+            self.logger.add_scalar("train/episode_reward",
+                                   float(out["reward"]), total_steps)
+            for k in INFO_CHANNELS:
+                self.logger.add_scalar(f"train/mean_{k}", float(out[k]),
+                                       total_steps)
+            if warm:
+                self.logger.add_scalar("train/critic_loss",
+                                       float(out["critic_loss"]), total_steps)
+
+            # eval window (train.py:370-390)
+            if (total_steps + 1) // cfg.train.eval_every_steps > test_flag:
+                test_flag = (total_steps + 1) // cfg.train.eval_every_steps
+                avg_ret, avg_steps, infos = self.evaluate(
+                    carry.sac_state.actor_params, w, b,
+                    tcfg.eval_episode_len)
+                self.logger.add_scalar("eval/episode_reward",
+                                       float(avg_ret), total_steps)
+                self.logger.add_scalar("eval/episode_step",
+                                       float(avg_steps), total_steps)
+                if e_step < tcfg.e_step_max:
+                    e_step += tcfg.e_step_growth
+                if checkpoint:
+                    checkpoints.save(self.outdir, {
+                        "sac": carry.sac_state._asdict(),
+                        "etg_w": w, "etg_b": b,
+                        "etg_param": etg_best_param,
+                    }, total_steps)
+
+            # ES phase (train.py:392-437)
+            if (cfg.es.popsize > 0 and
+                    (total_steps + 1) // cfg.es.es_every_steps > es_flag and
+                    total_steps >= cfg.sac.warmup_steps):
+                es_flag = (total_steps + 1) // cfg.es.es_every_steps
+                rng_host = carry.rng
+                best_reward, _ = self._es_baseline(carry, w, b)
+                best_param = etg_best_param
+                for gi in range(cfg.es.es_train_steps):
+                    rng_host, k_ask, k_roll = jax.random.split(rng_host, 3)
+                    solutions, es_state = self.solver.ask(es_state, k_ask)
+                    ws, bs = self.fit_etg_population(solutions)
+                    fitness, ep_len = self.es_eval(
+                        carry.sac_state.actor_params, ws, bs, k_roll,
+                        cfg.es.es_episode_len, cfg.es.popsize)
+                    es_state = self.solver.tell(es_state, fitness)
+                    gen_best = int(jnp.argmax(fitness))
+                    if float(fitness[gen_best]) > float(best_reward):
+                        best_reward = float(fitness[gen_best])
+                        best_param = solutions[gen_best]
+                    es_gen += 1
+                    self.logger.add_scalar("ES/episode_reward",
+                                           float(jnp.mean(fitness)), es_gen)
+                    self.logger.add_scalar("ES/episode_maxre",
+                                           float(jnp.max(fitness)), es_gen)
+                    self.logger.add_scalar("ES/sigma",
+                                           float(es_state.sigma), es_gen)
+                etg_best_param = best_param
+                w, b = self.fit_etg(etg_best_param)
+                es_state = self.solver.reset(es_state, etg_best_param)
+                # refresh env ETG for subsequent SAC rollouts
+                w_env, b_env = self._broadcast_etg(w, b)
+                carry = carry._replace(env_state=carry.env_state.replace(
+                    etg_w=w_env, etg_b=b_env))
+                carry = carry._replace(rng=rng_host)
+
+        return carry, (w, b, etg_best_param)
+
+    def _es_baseline(self, carry, w, b):
+        """Current-gait baseline episode (train.py:395)."""
+        ret, steps, _ = self.evaluate(
+            carry.sac_state.actor_params, w, b, self.cfg.es.es_episode_len)
+        return float(ret), float(steps)

@@ -1,0 +1,57 @@
+import dataclasses
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
+                                            SACConfig, TrainConfig)
+from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return QuadrupedConfig(
+        sac=SACConfig(memory_size=5000, warmup_steps=100, batch_size=64),
+        es=ESConfig(popsize=4, es_every_steps=800, es_train_steps=1,
+                    es_episode_len=15),
+        train=TrainConfig(eval_every_steps=400, e_step=50,
+                          eval_episode_len=15, num_envs=8),
+    )
+
+
+def test_dual_loop_runs(tiny_cfg, tmp_path):
+    trainer = ETGRLTrainer(tiny_cfg, num_envs=8, outdir=str(tmp_path))
+    carry, (w, b, param) = trainer.train(max_steps=1700, chunk_steps=10,
+                                         checkpoint=True)
+    # all phases exercised: warmup, SAC learn, eval, ES
+    log = open(os.path.join(str(tmp_path), "metrics.jsonl")).read()
+    assert "train/episode_reward" in log
+    assert "eval/episode_reward" in log
+    assert "ES/episode_reward" in log
+    assert w.shape == (3, tiny_cfg.etg.H)
+    assert param.shape == (12,)
+    # checkpoint written
+    assert any(n.startswith("itr_") for n in os.listdir(str(tmp_path)))
+    # replay buffer filled
+    assert int(carry.buffer.size) > 1000
+    # losses are finite
+    q = np.asarray(carry.sac_state.critic_params["params"]["Dense_0"]["kernel"])
+    assert np.all(np.isfinite(q))
+
+
+def test_es_eval_population_assignment(tiny_cfg):
+    trainer = ETGRLTrainer(tiny_cfg, num_envs=8, outdir="/tmp/etg_test")
+    sols = jnp.zeros((4, 12))
+    ws, bs = trainer.fit_etg_population(sols)
+    assert ws.shape == (4, 3, tiny_cfg.etg.H)
+    sac_state = trainer.sac.init(jax.random.key(0))
+    fitness, ep_len = trainer.es_eval(sac_state.actor_params, ws, bs,
+                                      jax.random.key(1), 10, 4)
+    assert fitness.shape == (4,)
+    # identical candidates → identical fitness
+    np.testing.assert_allclose(np.asarray(fitness),
+                               np.asarray(fitness)[0] * np.ones(4), rtol=1e-4)
