@@ -1,0 +1,132 @@
+"""ETG-RL training CLI — flag-for-flag mirror of ETGRL/train.py:451-506.
+
+Usage:
+    python -m paddlerobotics_tpu.cli.train_quadruped --task_mode ground \
+        --max_steps 10000000 --num_envs 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from paddlerobotics_tpu.core.config import (ESConfig, ETGConfig,
+                                            QuadrupedConfig, RandomConfig,
+                                            RewardConfig, SACConfig,
+                                            SensorConfig, TaskConfig,
+                                            TrainConfig)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # mirrors train.py:451-506
+    p.add_argument("--outdir", type=str, default="train_log")
+    p.add_argument("--max_steps", type=int, default=int(1e7))
+    p.add_argument("--sigma", type=float, default=0.02)
+    p.add_argument("--sigma_decay", type=float, default=0.99)
+    p.add_argument("--popsize", type=int, default=40)
+    p.add_argument("--random_dynamic", type=int, default=0)
+    p.add_argument("--random_force", type=int, default=0)
+    p.add_argument("--task_mode", type=str, default="stairstair")
+    p.add_argument("--step_y", type=float, default=0.05)
+    p.add_argument("--load", type=str, default="")
+    p.add_argument("--eval", type=int, default=0)
+    p.add_argument("--suffix", type=str, default="exp0")
+    p.add_argument("--normal", type=int, default=1)
+    p.add_argument("--vel_d", type=float, default=0.5)
+    p.add_argument("--ETG_T", type=float, default=0.5)
+    p.add_argument("--reward_p", type=float, default=5.0)
+    p.add_argument("--footheight", type=float, default=0.1)
+    p.add_argument("--steplen", type=float, default=0.05)
+    p.add_argument("--ETG", type=int, default=1)
+    p.add_argument("--ETG_T2", type=float, default=0.5)
+    p.add_argument("--e_step", type=int, default=400)
+    p.add_argument("--act_mode", type=str, default="traj")
+    p.add_argument("--ETG_H", type=int, default=20)
+    p.add_argument("--stand", type=float, default=0.0)
+    p.add_argument("--torso", type=float, default=1.5)
+    p.add_argument("--up", type=float, default=0.6)
+    p.add_argument("--tau", type=float, default=0.07)
+    p.add_argument("--feet", type=float, default=0.3)
+    p.add_argument("--badfoot", type=float, default=0.1)
+    p.add_argument("--footcontact", type=float, default=0.1)
+    p.add_argument("--act_bound", type=float, default=0.3)
+    p.add_argument("--sensor_dis", type=int, default=1)
+    p.add_argument("--sensor_motor", type=int, default=1)
+    p.add_argument("--sensor_imu", type=int, default=1)
+    p.add_argument("--sensor_contact", type=int, default=1)
+    p.add_argument("--sensor_ETG", type=int, default=1)
+    p.add_argument("--sensor_ETG_obs", type=int, default=0)
+    p.add_argument("--sensor_footpose", type=int, default=0)
+    p.add_argument("--sensor_noise", type=int, default=0)
+    p.add_argument("--timesteps", type=int, default=5)
+    p.add_argument("--timeinterval", type=int, default=1)
+    p.add_argument("--RNN_mode", type=str, default="None")
+    p.add_argument("--enable_action_filter", type=int, default=0)
+    p.add_argument("--ES", type=int, default=1)
+    p.add_argument("--es_rpm", type=int, default=1)
+    p.add_argument("--x_noise", type=int, default=0)
+    # TPU-native additions
+    p.add_argument("--num_envs", type=int, default=4096)
+    p.add_argument("--chunk_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def config_from_args(args) -> QuadrupedConfig:
+    return QuadrupedConfig(
+        sensors=SensorConfig(
+            dis=bool(args.sensor_dis), motor=args.sensor_motor,
+            imu=args.sensor_imu, contact=bool(args.sensor_contact),
+            etg=bool(args.sensor_ETG), etg_obs=bool(args.sensor_ETG_obs),
+            footpose=bool(args.sensor_footpose),
+            noise=bool(args.sensor_noise), normal=bool(args.normal),
+            rnn_time_steps=args.timesteps if args.RNN_mode != "None" else 0,
+            rnn_time_interval=args.timeinterval, rnn_mode=args.RNN_mode),
+        reward=RewardConfig(
+            torso=args.torso, up=args.up, feet=args.feet, tau=args.tau,
+            stand=args.stand, badfoot=args.badfoot,
+            footcontact=args.footcontact, reward_p=args.reward_p,
+            vel_d=args.vel_d),
+        random=RandomConfig(
+            random_dynamics=bool(args.random_dynamic),
+            random_force=bool(args.random_force)),
+        etg=ETGConfig(T=args.ETG_T, T2=args.ETG_T2, H=args.ETG_H,
+                      steplen=args.steplen, footheight=args.footheight,
+                      step_y=args.step_y),
+        task=TaskConfig(task_mode=args.task_mode),
+        es=ESConfig(popsize=args.popsize if args.ES else 0,
+                    sigma_init=args.sigma, sigma_decay=args.sigma_decay,
+                    es_rpm=bool(args.es_rpm)),
+        train=TrainConfig(max_steps=args.max_steps, e_step=args.e_step,
+                          act_mode=args.act_mode, act_bound=args.act_bound,
+                          num_envs=args.num_envs, seed=args.seed,
+                          enable_action_filter=bool(
+                              args.enable_action_filter)),
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    import os
+
+    from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
+
+    outdir = os.path.join(args.outdir, args.suffix)
+    trainer = ETGRLTrainer(cfg, num_envs=args.num_envs, outdir=outdir)
+    if args.eval:
+        import jax
+        w, b = trainer.fit_etg(__import__("jax.numpy", fromlist=["zeros"]
+                                          ).zeros(12))
+        sac_state = trainer.sac.init(jax.random.key(0))
+        ret, steps, infos = trainer.evaluate(sac_state.actor_params, w, b,
+                                             cfg.train.eval_episode_len)
+        print(f"eval reward {float(ret):.2f} steps {float(steps):.1f}")
+        return
+    trainer.train(max_steps=args.max_steps, chunk_steps=args.chunk_steps,
+                  seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Sim-to-real dynamics identification (rebuild of ETGRL/Dynamic_train.py
++ model/Dynamic_parallel_model.py).
+
+The reference fans an ES population of 48 normalized dynamics parameters
+across xparl RPC workers, each replaying a fixed gait in its own PyBullet
+and scoring the std-normalized mismatch of joint-angle + gyro traces
+against real-robot logs (loss_func, Dynamic_parallel_model.py:29-41).
+Here the population IS the env batch: every candidate's physics params
+are a slice of the batched `BDynParams`, so one jitted rollout evaluates
+the whole population — no RPC, no futures.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from paddlerobotics_tpu.algos import es as es_mod
+from paddlerobotics_tpu.core.config import QuadrupedConfig
+from paddlerobotics_tpu.envs import randomize
+from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+from paddlerobotics_tpu.sim.sbatch import BDynParams
+from paddlerobotics_tpu.train import metrics as metrics_mod
+
+
+def trace_loss(sim_q, sim_gyro, real_q, real_gyro):
+    """Std-normalized max-of-mean-squared-diff loss
+    (loss_func, Dynamic_parallel_model.py:29-41). Lower is better;
+    fitness = −loss."""
+    q_std = jnp.std(real_q, axis=0) + 1e-6          # (12,)
+    g_std = jnp.std(real_gyro, axis=0) + 1e-6       # (3,)
+    q_err = jnp.mean(((sim_q - real_q) / q_std) ** 2, axis=0)   # (12,)
+    g_err = jnp.mean(((sim_gyro - real_gyro) / g_std) ** 2, axis=0)
+    return jnp.maximum(jnp.mean(q_err), jnp.mean(g_err))
+
+
+class DynamicsIdentifier:
+    def __init__(self, config: QuadrupedConfig,
+                 gait_actions: jnp.ndarray,
+                 real_q: jnp.ndarray, real_gyro: jnp.ndarray,
+                 popsize: int = 40, sigma: float = 0.5,
+                 outdir: str = "dyn_id_log"):
+        """gait_actions (T,12): recorded joint-space commands (deltas from
+        default pose, like gait_action_list npys); real_q (T,12) /
+        real_gyro (T,3): recorded robot responses."""
+        self.cfg = config
+        self.P = popsize
+        self.B = popsize
+        self.env = BatchedQuadrupedEnv(config, self.B)
+        self.gait = jnp.asarray(gait_actions)
+        self.real_q = jnp.asarray(real_q)
+        self.real_gyro = jnp.asarray(real_gyro)
+        self.T = self.gait.shape[0]
+        self.solver = es_mod.SimpleGA(
+            randomize.NUM_DYNAMIC_PARAMS, sigma_init=sigma,
+            sigma_decay=0.99, sigma_limit=0.01, popsize=popsize,
+            elite_ratio=0.1, weight_decay=0.0)
+        self.logger = metrics_mod.MetricsLogger(outdir, use_tensorboard=False)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _fitness(self, solutions, rng):
+        """(P,48) candidates → (P,) fitness, one batched replay rollout."""
+        dyn_leading = jax.vmap(randomize.param2dynamic)(solutions)
+        dyn = BDynParams.from_leading(dyn_leading)
+        state, _ = self.env.reset(rng, dyn=dyn)
+
+        def body(c, t):
+            state, q_err, g_err = c
+            action = jnp.broadcast_to(self.gait[t][None, :], (self.B, 12))
+            nstate, _, _, _, _ = self.env.step(state, action,
+                                               autoreset=False)
+            s = nstate.robot.s
+            dq = (s.q.T - self.real_q[t][None, :])        # (B,12)
+            dg = (s.w.T - self.real_gyro[t][None, :])     # (B,3)
+            return (nstate, q_err + dq * dq, g_err + dg * dg), None
+
+        init = (state, jnp.zeros((self.B, 12)), jnp.zeros((self.B, 3)))
+        (state, q_err, g_err), _ = jax.lax.scan(
+            body, init, jnp.arange(self.T))
+        q_std = jnp.std(self.real_q, axis=0) + 1e-6
+        g_std = jnp.std(self.real_gyro, axis=0) + 1e-6
+        q_loss = jnp.mean(q_err / self.T / q_std[None, :] ** 2, axis=1)
+        g_loss = jnp.mean(g_err / self.T / g_std[None, :] ** 2, axis=1)
+        return -jnp.maximum(q_loss, g_loss)
+
+    def identify(self, epochs: int = 50, seed: int = 0):
+        rng = jax.random.key(seed)
+        state = self.solver.init(jnp.zeros(randomize.NUM_DYNAMIC_PARAMS))
+        for e in range(epochs):
+            rng, k_ask, k_roll = jax.random.split(rng, 3)
+            sols, state = self.solver.ask(state, k_ask)
+            fit = self._fitness(sols, k_roll)
+            state = self.solver.tell(state, fit)
+            self.logger.add_scalar("dyn_id/best_loss",
+                                   -float(jnp.max(fit)), e)
+        best, best_r, *_ = self.solver.result(state)
+        return best, randomize.param2dynamic(best)

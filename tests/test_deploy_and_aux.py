@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
+                                            ETGConfig, TrainConfig)
+from paddlerobotics_tpu.deploy import bezier, estimator, policy_export
+
+
+def test_bezier_swing_endpoints():
+    """Swing starts and ends at z≈0, peaks near mid-phase."""
+    L = jnp.asarray(0.05)
+    x0, y0, z0 = bezier.bezier_swing(jnp.asarray(0.0), L, 0.0, 0.05)
+    x1, y1, z1 = bezier.bezier_swing(jnp.asarray(1.0), L, 0.0, 0.05)
+    xm, ym, zm = bezier.bezier_swing(jnp.asarray(0.5), L, 0.0, 0.05)
+    assert abs(float(z0)) < 1e-6 and abs(float(z1)) < 1e-6
+    assert float(zm) > 0.03
+    # swing moves foot from −L to +L
+    assert float(x0) < 0 < float(x1)
+
+
+def test_bezier_stance_drag():
+    L = jnp.asarray(0.05)
+    x0, _, _ = bezier.sine_stance(jnp.asarray(0.0), L, 0.0, 0.01)
+    x1, _, z1 = bezier.sine_stance(jnp.asarray(1.0), L, 0.0, 0.01)
+    assert float(x0) > 0 > float(x1)   # drag back during stance
+
+
+def test_bezier_trajectory_ticks():
+    from paddlerobotics_tpu.etg.model import default_foot_positions
+
+    feet0 = jnp.asarray(default_foot_positions())
+    state = bezier.init_state()
+    stepper = bezier.stepper_init()
+    for _ in range(20):
+        stepper = bezier.stepper_ramp(stepper, 0.04, 0.5)
+        feet, state = bezier.generate_trajectory(
+            state, feet0, stepper.step_length, stepper.lateral_fraction,
+            stepper.yaw_rate, stepper.step_velocity, dt=0.01)
+    assert feet.shape == (4, 3)
+    assert np.all(np.isfinite(np.asarray(feet)))
+    # feet stay near defaults
+    assert float(jnp.abs(feet - feet0).max()) < 0.15
+
+
+def test_moving_window_mean():
+    s = estimator.window_init(4, 2)
+    means = []
+    for i in range(6):
+        mean, s = estimator.window_update(s, jnp.asarray([float(i), 0.0]))
+        means.append(float(mean[0]))
+    # window of last 4 of [0..5] → mean 3.5
+    np.testing.assert_allclose(means[-1], 3.5, atol=1e-5)
+
+
+def test_velocity_estimator_tracks_leg_odometry():
+    """Still accelerometer + constant leg-swing velocity → estimate
+    converges toward −J q̇ observation."""
+    s = estimator.estimator_init(window_size=10)
+    q = jnp.asarray(np.array([0, 0.9, -1.8] * 4))
+    qd = jnp.zeros(12).at[1].set(1.0)  # FR hip pitch swinging
+    contacts = jnp.asarray([True, True, True, True])
+    for _ in range(50):
+        mean, s = estimator.estimator_update(
+            s, jnp.zeros(3), q, qd, contacts, dt=0.01)
+    # foot moves backward-ish ⇒ body velocity estimate nonzero, finite
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert float(jnp.abs(s.estimate).max()) > 0.01
+
+
+def test_policy_export_and_sim_loop():
+    from paddlerobotics_tpu.algos.sac import SAC
+    from paddlerobotics_tpu.core.config import SACConfig
+    from paddlerobotics_tpu.deploy.realtime import SimRobotIO, \
+        run_control_loop
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+    import dataclasses
+
+    cfg = QuadrupedConfig()
+    w_b = policy_export.export_gait_table(cfg, *_default_etg(cfg), 100)
+    assert w_b.shape == (100, 12)
+
+    sac = SAC(49, 12, SACConfig())
+    sac_state = sac.init(jax.random.key(0))
+    policy = policy_export.export_policy_fn(
+        sac, sac_state, w_b, np.full(12, 0.3))
+    out = policy(jnp.zeros(49), jnp.asarray(3))
+    assert out.shape == (12,)
+
+    # software-in-the-loop: drive one sim env at "real-time" pace
+    sil_cfg = dataclasses.replace(
+        cfg, etg=dataclasses.replace(cfg.etg, step_y=0.0))
+    env = BatchedQuadrupedEnv(sil_cfg, num_envs=1)
+    io = SimRobotIO(env)
+    obs_log, act_log = run_control_loop(policy, io, dt=0.001, max_time=0.02)
+    assert obs_log.shape[0] == 20
+
+
+def _default_etg(cfg):
+    from paddlerobotics_tpu.etg import fit as etg_fit
+
+    return etg_fit.opt_with_points(cfg.etg)
+
+
+def test_pretrainer_smoke():
+    from paddlerobotics_tpu.train.pretrain import ETGPretrainer
+
+    cfg = QuadrupedConfig(es=ESConfig(popsize=4))
+    t = ETGPretrainer(cfg, num_envs=8, outdir="/tmp/pretrain_test")
+    best, best_r, (w, b) = t.train(generations=2, episode_len=10)
+    assert best.shape == (12,)
+    assert np.isfinite(best_r)
+
+
+def test_dynamics_id_smoke():
+    from paddlerobotics_tpu.train.dynamics_id import DynamicsIdentifier
+
+    cfg = QuadrupedConfig()
+    T = 10
+    gait = np.zeros((T, 12), np.float32)
+    real_q = np.tile(np.array([0, 0.9, -1.8] * 4, np.float32), (T, 1))
+    real_gyro = np.zeros((T, 3), np.float32)
+    ident = DynamicsIdentifier(cfg, gait, real_q, real_gyro, popsize=4,
+                               outdir="/tmp/dynid_test")
+    best, dyn = ident.identify(epochs=2)
+    assert best.shape == (48,)
+    assert np.isfinite(float(jnp.sum(dyn.motor_kp)))
+
+
+def test_cli_parses():
+    from paddlerobotics_tpu.cli.train_quadruped import build_parser, \
+        config_from_args
+
+    args = build_parser().parse_args(
+        ["--task_mode", "ground", "--num_envs", "16", "--torso", "2.0"])
+    cfg = config_from_args(args)
+    assert cfg.reward.torso == 2.0
+    assert cfg.task.task_mode == "ground"
