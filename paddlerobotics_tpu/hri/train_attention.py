@@ -1,0 +1,100 @@
+"""Attention-controller training (rebuild of
+scripts/train_attention_controller.py + parallel_train_attn.py).
+
+The reference trains with fluid exe.run over mp-fed feeds, optionally
+data-parallel via Paddle Fleet NCCL (train_attention_controller.py:
+393-444). Here the train step is one jitted function; data parallelism
+is a batch-axis NamedSharding over the device mesh (XLA emits the
+gradient all-reduce — the compiled equivalent of fleet's allreduce), and
+the reference's ablation fleet (one variant per GPU,
+parallel_train_attn.py:25-31) becomes a vmap over hyperparameter
+variants or per-device sharding of independent trainers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from paddlerobotics_tpu.hri.attention_ctrl import (AttentionController,
+                                                   AttnCtrlConfig,
+                                                   controller_loss)
+
+
+class AttnTrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+class AttentionTrainer:
+    def __init__(self, cfg: AttnCtrlConfig, lr: float = 1e-4,
+                 weight_decay: float = 0.1, mesh=None):
+        """weight_decay mirrors the reference's L2 regularizer 0.1
+        (train_attention_controller.py Adam + L2(0.1))."""
+        self.cfg = cfg
+        self.model = AttentionController(cfg)
+        self.tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(lr))
+        self.mesh = mesh
+
+    def init(self, rng) -> AttnTrainState:
+        T = self.cfg.num_frames * self.cfg.tokens_per_frame
+        tokens = {"visual_tokens": jnp.zeros((1, T, self.cfg.visual_token_dim))}
+        fids = jnp.ones((1, T), jnp.int32)
+        pad = jnp.ones((1, T))
+        params = self.model.init(rng, tokens, fids, pad)
+        return AttnTrainState(params, self.tx.init(params),
+                              jnp.zeros((), jnp.int32))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: AttnTrainState, batch):
+        """batch dict (B-leading): visual_tokens, frame_ids, padding_mask,
+        has_act, act_ids, is_obj."""
+        def loss_fn(params):
+            out = self.model.apply(
+                params, {"visual_tokens": batch["visual_tokens"]},
+                batch["frame_ids"], batch["padding_mask"],
+                deterministic=True)
+            return controller_loss(self.cfg, out, batch["has_act"],
+                                   batch["is_obj"], batch["act_ids"],
+                                   batch["padding_mask"])
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return AttnTrainState(params, opt_state, state.step + 1), aux
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def eval_step(self, state: AttnTrainState, batch):
+        out = self.model.apply(
+            state.params, {"visual_tokens": batch["visual_tokens"]},
+            batch["frame_ids"], batch["padding_mask"])
+        trigger_pred = jax.nn.sigmoid(out["trigger_logits"])
+        # accuracy on the final-frame trigger decision
+        correct = ((trigger_pred[:, -1] > 0.5) ==
+                   (batch["has_act"][:, -1] > 0.5))
+        act_pred = jnp.argmax(out["act_logits"][:, -1], axis=-1)
+        act_correct = act_pred == batch["act_ids"][:, -1]
+        has = batch["has_act"][:, -1] > 0.5
+        act_acc = jnp.sum(act_correct * has) / jnp.maximum(jnp.sum(has), 1)
+        return {"trigger_acc": jnp.mean(correct), "act_acc": act_acc}
+
+    def shard_batch(self, batch):
+        """Data-parallel placement over mesh axis 'env' (fleet equiv.)."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def place(x):
+            spec = ["env"] + [None] * (x.ndim - 1)
+            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+        return jax.tree.map(place, batch)

@@ -1,0 +1,159 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerobotics_tpu.hri.perception import roi_align, yolo
+from paddlerobotics_tpu.hri.perception.backbones import MobileNetV2
+from paddlerobotics_tpu.hri.perception.reid import MarsSmall128
+from paddlerobotics_tpu.hri.perception.utterance import (BoWEncoder,
+                                                         ErnieConfig,
+                                                         ErnieEncoder,
+                                                         WordPieceTokenizer)
+from paddlerobotics_tpu.hri import actions
+
+
+def test_roi_align_constant_map():
+    """On a constant feature map RoIAlign must return the constant."""
+    fm = jnp.full((13, 13, 8), 3.0)
+    rois = jnp.asarray([[32.0, 32.0, 160.0, 160.0]])
+    out = roi_align.roi_align(fm, rois, output_size=5,
+                              spatial_scale=13.0 / 416.0)
+    assert out.shape == (1, 5, 5, 8)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_roi_align_gradient_map():
+    """Linear-in-x feature map: aligned values must increase along x."""
+    x = jnp.arange(16, dtype=jnp.float32)
+    fm = jnp.broadcast_to(x[None, :, None], (16, 16, 1))
+    rois = jnp.asarray([[0.0, 0.0, 16.0, 16.0]])
+    out = np.asarray(roi_align.roi_align(fm, rois, output_size=4,
+                                         spatial_scale=1.0))
+    assert np.all(np.diff(out[0, 0, :, 0]) > 0)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                        jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    kb, ks, valid = yolo.nms_topk(boxes, scores, max_dets=5,
+                                  iou_threshold=0.5, score_threshold=0.1)
+    assert int(valid.sum()) == 2
+    np.testing.assert_allclose(np.asarray(ks[:2]), [0.9, 0.7], atol=1e-6)
+
+
+def test_yolo_decode_shapes():
+    B, nc = 1, 80
+    preds = [jnp.zeros((B, s, s, 3 * (5 + nc))) for s in (52, 26, 13)]
+    boxes, scores = yolo.decode_predictions(preds, yolo.YOLOV4_ANCHORS, nc)
+    n = 3 * (52 ** 2 + 26 ** 2 + 13 ** 2)
+    assert boxes.shape == (B, n, 4)
+    assert scores.shape == (B, n, nc)
+    # zero logits → sigmoid 0.5 centers: boxes centered on grid cells
+    assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+def test_mobilenet_v2_forward():
+    m = MobileNetV2(width=0.35)
+    x = jnp.zeros((2, 64, 64, 3))
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, int(1280 * 0.35))
+
+
+def test_reid_unit_norm():
+    m = MarsSmall128()
+    x = jax.random.normal(jax.random.key(1), (3, 128, 64, 3))
+    params = m.init(jax.random.key(0), x)
+    feats = m.apply(params, x)
+    assert feats.shape == (3, 128)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=1),
+                               1.0, atol=1e-4)
+
+
+def test_wordpiece_tokenizer():
+    vocab = {"[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "hello": 4, "wor": 5,
+             "##ld": 6, "你": 7, "好": 8}
+    tok = WordPieceTokenizer(vocab)
+    assert tok.tokenize_word("hello") == ["hello"]
+    assert tok.tokenize_word("world") == ["wor", "##ld"]
+    assert tok.tokenize_word("xyz") == ["[UNK]"]
+    ids = tok.encode("hello world 你好", max_len=16)
+    assert ids[0] == 2                      # CLS
+    assert list(ids[1:7]) == [4, 5, 6, 7, 8, 3]
+
+
+def test_ernie_tiny_forward():
+    cfg = ErnieConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                      num_heads=4, ffn_size=64)
+    m = ErnieEncoder(cfg)
+    ids = jnp.asarray([[2, 4, 5, 3, 0, 0]])
+    params = m.init(jax.random.key(0), ids)
+    seq, pooled = m.apply(params, ids)
+    assert seq.shape == (1, 6, 32)
+    assert pooled.shape == (1, 32)
+
+
+def test_action_embedding_assembly():
+    acts = [actions.MultimodalAction("wave", "smile", "hi there"),
+            actions.MultimodalAction("null", "null", "")]
+    utt = np.zeros((2, 768), np.float32)
+    emb = actions.build_action_embeddings(acts, utt)
+    # 12 actions + 30 expressions + 768 = 810 (v1 act_tr_dim analog)
+    assert emb.shape == (2, 12 + 30 + 768)
+    assert emb[0, actions.ACTION_TO_ID["wave"]] == 1.0
+
+
+def test_salutation_tree():
+    m = actions.SalutationClsTree()
+    fm = jnp.zeros((2, 5, 5, 64))
+    params = m.init(jax.random.key(0), fm)
+    out = m.apply(params, fm)
+    assert out.shape == (2, 6)
+
+
+def test_data_sampler_and_assembly():
+    from paddlerobotics_tpu.hri import data
+
+    moments = [data.AnnotatedMoment("v.mp4", 30, 3),
+               data.AnnotatedMoment("w.mp4", 80, 1)]
+    ds = data.XiaoduHiDataset(moments, test_frac=0.5)
+    assert len(ds.train) + len(ds.test) == 2
+
+    sampler = data.WindowSampler(moments, num_frames=10)
+    video, frames, act_id, pos = sampler.sample()
+    assert len(frames) == 10
+    assert pos
+
+    tokens = np.zeros((10, 20, 562), np.float32)
+    valid = np.ones((10, 20), bool)
+    sample = data.assemble_training_sample(tokens, valid, act_id, True,
+                                           target_token=2)
+    assert sample["visual_tokens"].shape == (200, 562)
+    assert sample["has_act"][-1] == 1.0
+    assert sample["is_obj"][9 * 20 + 2] == 1.0
+
+
+def test_attention_trainer_step():
+    from paddlerobotics_tpu.hri.attention_ctrl import AttnCtrlConfig
+    from paddlerobotics_tpu.hri.train_attention import AttentionTrainer
+
+    cfg = AttnCtrlConfig(num_actions=7, num_frames=2, tokens_per_frame=3,
+                         model_dim=16, num_decoder_blocks=1, num_heads=2,
+                         ffn_dim=32, act_tr_dim=10)
+    tr = AttentionTrainer(cfg, lr=1e-3)
+    state = tr.init(jax.random.key(0))
+    B, T = 4, 6
+    batch = {
+        "visual_tokens": jnp.zeros((B, T, cfg.visual_token_dim)),
+        "frame_ids": jnp.tile(jnp.asarray([1, 1, 1, 2, 2, 2]), (B, 1)),
+        "padding_mask": jnp.ones((B, T)),
+        "has_act": jnp.zeros((B, 2)).at[:, 1].set(1.0),
+        "act_ids": jnp.ones((B, 2), jnp.int32),
+        "is_obj": jnp.zeros((B, T)),
+    }
+    state, aux = tr.train_step(state, batch)
+    assert np.isfinite(float(aux["loss"]))
+    metrics = tr.eval_step(state, batch)
+    assert "trigger_acc" in metrics
