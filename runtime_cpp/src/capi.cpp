@@ -1,0 +1,129 @@
+// C ABI bridge: lets a Python (ctypes/cffi) host plug TPU inference
+// into the native pipeline. The reference links libpaddle_fluid
+// directly (jetson/CMakeLists.txt); here the engine stays out-of-
+// process-agnostic: callbacks in, decisions out.
+#include <cstring>
+#include <memory>
+
+#include "serving/pipeline.hpp"
+
+using namespace serving;
+
+extern "C" {
+
+// callback signatures the host provides
+// detect: pixels(416*416*3) -> fills boxes(K*4), scores(K), tokens(K*562),
+//         valid(K); returns count
+typedef int (*DetectFn)(const float* pixels, float* boxes, float* scores,
+                        float* tokens, int* valid);
+// attend: token window (F*K*562) + valid (F*K) -> trigger score,
+//         obj scores (K), sampled action id
+typedef void (*AttendFn)(const float* tokens, const int* valid,
+                         float* trigger, float* obj_scores, int* action_id);
+
+namespace {
+
+class CallbackBackend : public InferBackend {
+ public:
+  CallbackBackend(DetectFn d, AttendFn a) : detect_(d), attend_(a) {}
+
+  FrameInstances Detect(const RawFrame& frame) override {
+    FrameInstances out;
+    out.frame_id = frame.frame_id;
+    out.timestamp = frame.timestamp;
+    float boxes[kMaxInstances * 4] = {0};
+    float scores[kMaxInstances] = {0};
+    static thread_local std::vector<float> tokens(
+        kMaxInstances * kTokenDim);
+    int valid[kMaxInstances] = {0};
+    int n = detect_(frame.pixels.data(), boxes, scores, tokens.data(),
+                    valid);
+    for (int i = 0; i < n && i < kMaxInstances; ++i) {
+      Instance inst;
+      std::memcpy(inst.bbox.data(), boxes + 4 * i, 4 * sizeof(float));
+      inst.score = scores[i];
+      inst.valid = valid[i] != 0;
+      std::memcpy(inst.token.data(), tokens.data() + i * kTokenDim,
+                  kTokenDim * sizeof(float));
+      out.instances.push_back(inst);
+    }
+    return out;
+  }
+
+  AttnResult Attend(const std::deque<FrameInstances>& window) override {
+    static thread_local std::vector<float> tokens(
+        kNumFrames * kMaxInstances * kTokenDim, 0.f);
+    static thread_local std::vector<int> valid(kNumFrames * kMaxInstances,
+                                               0);
+    std::fill(tokens.begin(), tokens.end(), 0.f);
+    std::fill(valid.begin(), valid.end(), 0);
+    int f = 0;
+    for (const auto& fr : window) {
+      for (size_t k = 0; k < fr.instances.size() && k < kMaxInstances;
+           ++k) {
+        size_t base = (static_cast<size_t>(f) * kMaxInstances + k);
+        std::memcpy(tokens.data() + base * kTokenDim,
+                    fr.instances[k].token.data(),
+                    kTokenDim * sizeof(float));
+        valid[base] = fr.instances[k].valid ? 1 : 0;
+      }
+      ++f;
+    }
+    AttnResult r;
+    float obj[kMaxInstances] = {0};
+    attend_(tokens.data(), valid.data(), &r.trigger, obj, &r.action_id);
+    size_t n_last = window.back().instances.size();
+    r.obj_scores.assign(obj, obj + n_last);
+    return r;
+  }
+
+ private:
+  DetectFn detect_;
+  AttendFn attend_;
+};
+
+}  // namespace
+
+void* pipeline_create(float trigger_threshold, float near_field_frac,
+                      double cooldown_s, DetectFn detect, AttendFn attend) {
+  PipelineConfig cfg;
+  cfg.trigger_threshold = trigger_threshold;
+  cfg.near_field_frac = near_field_frac;
+  cfg.cooldown_s = cooldown_s;
+  auto* p = new GreetingPipeline(
+      cfg, std::make_shared<CallbackBackend>(detect, attend));
+  p->Start();
+  return p;
+}
+
+void pipeline_submit(void* handle, const float* pixels, long frame_id,
+                     double timestamp) {
+  auto* p = static_cast<GreetingPipeline*>(handle);
+  RawFrame f;
+  f.frame_id = frame_id;
+  f.timestamp = timestamp;
+  f.pixels.assign(pixels, pixels + 416 * 416 * 3);
+  p->SubmitFrame(std::move(f));
+}
+
+// poll one decision; returns 1 if available (fills outputs), else 0
+int pipeline_poll(void* handle, int* triggered, float* trigger_score,
+                  int* action_id, float* bbox) {
+  auto* p = static_cast<GreetingPipeline*>(handle);
+  if (p->decisions().Size() == 0) return 0;
+  auto d = p->decisions().Pop();
+  if (!d) return 0;
+  *triggered = d->triggered ? 1 : 0;
+  *trigger_score = d->trigger_score;
+  *action_id = d->action_id;
+  std::memcpy(bbox, d->target_bbox.data(), 4 * sizeof(float));
+  return 1;
+}
+
+void pipeline_destroy(void* handle) {
+  auto* p = static_cast<GreetingPipeline*>(handle);
+  p->Stop();
+  delete p;
+}
+
+}  // extern "C"
