@@ -52,6 +52,7 @@ class MaskedMultiHeadAttention(nn.Module):
     model_dim: int
     num_heads: int
     dropout: float = 0.0
+    use_pallas: bool = False   # flash-attention kernel (no weights output)
 
     @nn.compact
     def __call__(self, x, attn_mask, past_kv=None, deterministic=True):
@@ -73,14 +74,23 @@ class MaskedMultiHeadAttention(nn.Module):
             k = jnp.concatenate([pk, k], axis=-2)
             v = jnp.concatenate([pv, v], axis=-2)
 
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, k) * (hd ** -0.5)
-        m = attn_mask[:, None, :, :]
-        scores = scores * m + NEG_INF * (1.0 - m)
-        weights = jax.nn.softmax(scores, axis=-1) * m
-        if self.dropout > 0 and not deterministic:
-            weights = nn.Dropout(self.dropout)(weights,
-                                               deterministic=deterministic)
-        attn = jnp.einsum("bhts,bhsd->bhtd", weights, v)
+        if self.use_pallas and (self.dropout == 0 or deterministic):
+            from paddlerobotics_tpu.ops.pallas.attention import \
+                flash_attention
+
+            attn = flash_attention(q, k, v, attn_mask)
+            # flash never materializes the score matrix; weights output
+            # is a placeholder for API parity
+            weights = jnp.zeros((B, H, T, k.shape[-2]), q.dtype)
+        else:
+            scores = jnp.einsum("bhtd,bhsd->bhts", q, k) * (hd ** -0.5)
+            m = attn_mask[:, None, :, :]
+            scores = scores * m + NEG_INF * (1.0 - m)
+            weights = jax.nn.softmax(scores, axis=-1) * m
+            if self.dropout > 0 and not deterministic:
+                weights = nn.Dropout(self.dropout)(
+                    weights, deterministic=deterministic)
+            attn = jnp.einsum("bhts,bhsd->bhtd", weights, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = nn.Dense(self.model_dim, use_bias=False, name="out_fc")(attn)
         return out, present_kv, weights
@@ -92,6 +102,7 @@ class TransformerDecoderBlock(nn.Module):
     ffn_dim: int
     dropout: float = 0.0
     normalize_before: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, frame_emb, attn_mask, padding_mask,
@@ -105,7 +116,8 @@ class TransformerDecoderBlock(nn.Module):
         attn_mask = merge_padding_mask(attn_mask, padding_mask)
 
         mha = MaskedMultiHeadAttention(self.model_dim, self.num_heads,
-                                       self.dropout)
+                                       self.dropout,
+                                       use_pallas=self.use_pallas)
         ln1 = nn.LayerNorm(epsilon=1e-6)
         ln2 = nn.LayerNorm(epsilon=1e-6)
 
@@ -135,6 +147,7 @@ class TransformerDecoder(nn.Module):
     tokens_per_frame: int = 10
     dropout: float = 0.0
     normalize_before: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, frame_emb, attn_mask, padding_mask,
@@ -146,7 +159,8 @@ class TransformerDecoder(nn.Module):
             past_kv = None if past_kv_arr is None else past_kv_arr[:, i]
             x, pkv, w = TransformerDecoderBlock(
                 self.model_dim, self.num_heads, self.ffn_dim,
-                self.dropout, self.normalize_before, name=f"block_{i}")(
+                self.dropout, self.normalize_before,
+                use_pallas=self.use_pallas, name=f"block_{i}")(
                     x, frame_emb, attn_mask, padding_mask,
                     past_kv, past_padding_mask, deterministic)
             presents.append(pkv)
