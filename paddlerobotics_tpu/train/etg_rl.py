@@ -144,37 +144,45 @@ class ETGRLTrainer:
 
     @functools.partial(jax.jit, static_argnums=(0, 5, 6))
     def es_eval(self, actor_params, etg_w_pop, etg_b_pop, rng,
-                n_steps: int, popsize: int):
+                n_steps: int, popsize: int, buffer=None):
         """Evaluate a population in one batched rollout.
 
         etg_w_pop (P,3,H), etg_b_pop (P,3). Each candidate runs on B//P
         envs with the frozen deterministic policy (run_EStrain_episode,
         train.py:213-249). Returns per-candidate mean return and mean
-        episode length.
+        episode length; when `buffer` is given (--es_rpm,
+        train.py:240-241), the first env of each candidate also feeds
+        the SAC replay buffer (P transitions/step — the reference's
+        serial-episode data rate).
         """
         B, P = self.B, popsize
         cand = jnp.repeat(jnp.arange(P), B // P, total_repeat_length=B)
         w_env = jnp.moveaxis(etg_w_pop[cand], 0, -1)   # (3,H,B)
         b_env = jnp.moveaxis(etg_b_pop[cand], 0, -1)   # (3,B)
         state, obs = self.env.reset(rng, etg_w=w_env, etg_b=b_env)
+        sub = jnp.arange(P) * (B // P)                 # buffer sub-sample
 
         def body(c, _):
-            state, obs, ret, alive, steps = c
+            state, obs, ret, alive, steps, buf = c
             action = self.sac.predict(actor_params, obs)
             nstate, nobs, rew, done, info = self.env.step(
                 state, action * self.act_bound, autoreset=False)
+            if buf is not None:
+                buf = replay.add_batch(
+                    buf, obs[sub], action[sub], rew[sub], nobs[sub],
+                    1.0 - done[sub].astype(jnp.float32))
             ret = ret + rew * alive
             steps = steps + alive
             alive = alive * (1.0 - done.astype(jnp.float32))
-            return (nstate, nobs, ret, alive, steps), None
+            return (nstate, nobs, ret, alive, steps, buf), None
 
-        init = (state, obs, jnp.zeros(B), jnp.ones(B), jnp.zeros(B))
-        (state, obs, ret, alive, steps), _ = jax.lax.scan(
+        init = (state, obs, jnp.zeros(B), jnp.ones(B), jnp.zeros(B), buffer)
+        (state, obs, ret, alive, steps, buffer), _ = jax.lax.scan(
             body, init, None, length=n_steps)
         seg = cand
         fitness = jax.ops.segment_sum(ret, seg, num_segments=P) / (B // P)
         ep_len = jax.ops.segment_sum(steps, seg, num_segments=P) / (B // P)
-        return fitness, ep_len
+        return fitness, ep_len, buffer
 
     # -- evaluation ----------------------------------------------------------
 
@@ -276,9 +284,12 @@ class ETGRLTrainer:
                     rng_host, k_ask, k_roll = jax.random.split(rng_host, 3)
                     solutions, es_state = self.solver.ask(es_state, k_ask)
                     ws, bs = self.fit_etg_population(solutions)
-                    fitness, ep_len = self.es_eval(
+                    es_buf = carry.buffer if cfg.es.es_rpm else None
+                    fitness, ep_len, es_buf = self.es_eval(
                         carry.sac_state.actor_params, ws, bs, k_roll,
-                        cfg.es.es_episode_len, cfg.es.popsize)
+                        cfg.es.es_episode_len, cfg.es.popsize, es_buf)
+                    if cfg.es.es_rpm:
+                        carry = carry._replace(buffer=es_buf)
                     es_state = self.solver.tell(es_state, fitness)
                     gen_best = int(jnp.argmax(fitness))
                     if float(fitness[gen_best]) > float(best_reward):

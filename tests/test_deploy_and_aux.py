@@ -137,3 +137,21 @@ def test_cli_parses():
     cfg = config_from_args(args)
     assert cfg.reward.torso == 2.0
     assert cfg.task.task_mode == "ground"
+
+
+def test_obs_history_wrapper():
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+    from paddlerobotics_tpu.envs.wrappers import ObsHistoryWrapper
+
+    env = BatchedQuadrupedEnv(QuadrupedConfig(), num_envs=2)
+    wrap = ObsHistoryWrapper(env, time_steps=3, time_interval=1,
+                             mode="stack")
+    assert wrap.obs_dim == 49 * 4
+    state, obs = wrap.reset(jax.random.key(0))
+    assert obs.shape == (2, 49 * 4)
+    state, obs, rew, done, info = wrap.step(state, jnp.zeros((2, 12)))
+    assert obs.shape == (2, 49 * 4)
+
+    gru = ObsHistoryWrapper(env, time_steps=3, mode="GRU")
+    state, obs = gru.reset(jax.random.key(0))
+    assert obs.shape == (2, 4, 49)

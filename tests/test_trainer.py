@@ -49,7 +49,7 @@ def test_es_eval_population_assignment(tiny_cfg):
     ws, bs = trainer.fit_etg_population(sols)
     assert ws.shape == (4, 3, tiny_cfg.etg.H)
     sac_state = trainer.sac.init(jax.random.key(0))
-    fitness, ep_len = trainer.es_eval(sac_state.actor_params, ws, bs,
+    fitness, ep_len, _ = trainer.es_eval(sac_state.actor_params, ws, bs,
                                       jax.random.key(1), 10, 4)
     assert fitness.shape == (4,)
     # identical candidates → identical fitness
