@@ -21,7 +21,12 @@ BASELINE_STEPS_PER_SEC_PER_CHIP = 625_000.0  # 5M / 8 chips
 
 
 def main():
-    env = BatchedQuadrupedEnv(QuadrupedConfig(), num_envs=NUM_ENVS)
+    import dataclasses
+
+    cfg = QuadrupedConfig()
+    cfg = dataclasses.replace(
+        cfg, sim=dataclasses.replace(cfg.sim, use_pallas=True))
+    env = BatchedQuadrupedEnv(cfg, num_envs=NUM_ENVS)
     state, obs = jax.jit(env.reset)(jax.random.key(0))
 
     STEPS = 100

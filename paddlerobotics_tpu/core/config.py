@@ -160,6 +160,10 @@ class SimConfig:
     # Velocity clamps for numerical robustness under large penalty forces.
     max_joint_velocity: float = 100.0
     max_base_velocity: float = 50.0
+    # Pallas megakernel for the control step (TPU only): all substeps of
+    # a 1024-env block run in VMEM — ~2.4x the fused-XLA SoA path.
+    use_pallas: bool = False
+    pallas_block: int = 1024
 
     @property
     def substep_dt(self) -> float:

@@ -254,8 +254,18 @@ class BatchedQuadrupedEnv:
             dyn = dyn._replace(external_force=jnp.stack(
                 [mag * d[0], mag * d[1], jnp.zeros(B)]))
 
-        rb = sbatch.control_step(state.robot, cmd, dyn, cfg.sim, self.h_fn,
-                                 torque_mode=self.torque_mode)
+        if cfg.sim.use_pallas:
+            from paddlerobotics_tpu.ops.pallas.physics_step import \
+                control_step_pallas
+
+            rb = control_step_pallas(
+                state.robot, cmd, dyn, cfg.sim, self.h_fn,
+                torque_mode=self.torque_mode,
+                block_b=min(cfg.sim.pallas_block, self.B))
+        else:
+            rb = sbatch.control_step(
+                state.robot, cmd, dyn, cfg.sim, self.h_fn,
+                torque_mode=self.torque_mode)
         s = rb.s
 
         # reward terms (all (B,))

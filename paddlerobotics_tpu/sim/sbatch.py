@@ -149,6 +149,40 @@ _TRUNK_I = [[float(a1.TRUNK_INERTIA[i, j]) for j in range(3)] for i in range(3)]
 _M_HIP, _M_THIGH, _M_CALF = [float(m) for m in dyn.LINK_MASSES]
 
 
+# Constants threaded explicitly so Pallas kernels can pass them as inputs
+# (pallas_call rejects closure-captured array constants).
+def _pack_vec(v):
+    return np.stack([np.asarray(x).reshape(4) for x in v])          # (3,4)
+
+
+def _pack_mat(m):
+    return np.stack([np.stack([np.asarray(x).reshape(4) for x in row])
+                     for row in m])                                  # (3,3,4)
+
+
+CONST_INPUTS = {
+    "HIP_R": _pack_vec(_HIP_R), "THIGH_R": _pack_vec(_THIGH_R),
+    "HIP_COM": _pack_vec(_HIP_COM), "THIGH_COM": _pack_vec(_THIGH_COM),
+    "HIP_I": _pack_mat(_HIP_I), "THIGH_I": _pack_mat(_THIGH_I),
+}
+CONST_ORDER = ("HIP_R", "THIGH_R", "HIP_COM", "THIGH_COM", "HIP_I",
+               "THIGH_I")
+
+
+def unpack_consts(hip_r, thigh_r, hip_com, thigh_com, hip_i, thigh_i):
+    """Loaded (3,4)/(3,3,4) arrays → the smallalg list structure."""
+    vec = lambda a: [a[i][:, None] for i in range(3)]
+    mat = lambda a: [[a[i, j][:, None] for j in range(3)] for i in range(3)]
+    return {"HIP_R": vec(hip_r), "THIGH_R": vec(thigh_r),
+            "HIP_COM": vec(hip_com), "THIGH_COM": vec(thigh_com),
+            "HIP_I": mat(hip_i), "THIGH_I": mat(thigh_i)}
+
+
+_DEFAULT_C = {"HIP_R": _HIP_R, "THIGH_R": _THIGH_R, "HIP_COM": _HIP_COM,
+              "THIGH_COM": _THIGH_COM, "HIP_I": _HIP_I,
+              "THIGH_I": _THIGH_I}
+
+
 # --- blockwise spatial algebra -----------------------------------------------
 
 def spatial_inertia_blocks(m, com, I_com):
@@ -216,11 +250,12 @@ def quat_to_mat_cols(q):
     ]
 
 
-def _chain_poses(s: BQuadState):
+def _chain_poses(s: BQuadState, C=None):
     """World rotations/origins for base + per-leg hip/thigh/calf + foot pos.
 
     Returns dict of smallalg Mats/Vecs; leg entries are (4,B) scalars.
     """
+    C = C or _DEFAULT_C
     Rb = quat_to_mat_cols(s.quat)
     pos = [s.pos[0], s.pos[1], s.pos[2]]
     q = s.q.reshape(4, 3, -1)
@@ -232,9 +267,9 @@ def _chain_poses(s: BQuadState):
     Ry3 = sa.rot_y(c3, s3)
 
     Rh = sa.mm(Rb, Rx1)
-    oh = sa.vadd(pos, sa.mv(Rb, _HIP_R))
+    oh = sa.vadd(pos, sa.mv(Rb, C["HIP_R"]))
     Rt = sa.mm(Rh, Ry2)
-    ot = sa.vadd(oh, sa.mv(Rh, _THIGH_R))
+    ot = sa.vadd(oh, sa.mv(Rh, C["THIGH_R"]))
     Rc = sa.mm(Rt, Ry3)
     oc = sa.vadd(ot, sa.mv(Rt, _CALF_R))
     of = sa.vadd(oc, sa.mv(Rc, _FOOT_R))
@@ -254,8 +289,9 @@ def _ext_force_local(R, origin, point_w, force_w):
 
 # --- forward dynamics (ABA) --------------------------------------------------
 
-def chain_velocities(s: BQuadState, poses):
+def chain_velocities(s: BQuadState, poses, C=None):
     """Pass-1 spatial velocities (body coords) + velocity-product biases."""
+    C = C or _DEFAULT_C
     c1, s1, c2, s2, c3, s3 = poses["trig"]
     E1 = sa.mT(sa.rot_x(c1, s1))
     E2 = sa.mT(sa.rot_y(c2, s2))
@@ -264,10 +300,10 @@ def chain_velocities(s: BQuadState, poses):
     qd1, qd2, qd3 = qd[:, 0], qd[:, 1], qd[:, 2]
     v0w = [s.w[0], s.w[1], s.w[2]]
     v0u = [s.v[0], s.v[1], s.v[2]]
-    w1, u1 = xform_motion(E1, _HIP_R, v0w, v0u)
+    w1, u1 = xform_motion(E1, C["HIP_R"], v0w, v0u)
     w1 = sa.vadd(w1, [qd1, 0.0, 0.0])
     cw1, cu1 = sa.cross(w1, [qd1, 0.0, 0.0]), sa.cross(u1, [qd1, 0.0, 0.0])
-    w2, u2 = xform_motion(E2, _THIGH_R, w1, u1)
+    w2, u2 = xform_motion(E2, C["THIGH_R"], w1, u1)
     w2 = sa.vadd(w2, [0.0, qd2, 0.0])
     cw2, cu2 = sa.cross(w2, [0.0, qd2, 0.0]), sa.cross(u2, [0.0, qd2, 0.0])
     w3, u3 = xform_motion(E3, _CALF_R, w2, u2)
@@ -281,13 +317,14 @@ def chain_velocities(s: BQuadState, poses):
 
 def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
                      foot_f, knee_f, base_f,
-                     p: BDynParams, poses=None, vels=None):
+                     p: BDynParams, poses=None, vels=None, C=None):
     """Batched ABA. tau (12,B); forces are smallalg Vec3s with (4,B) or
     (B,) components in WORLD frame. Returns (a0 (6,B list), qdd (12,B))."""
+    C = C or _DEFAULT_C
     if poses is None:
-        poses = _chain_poses(s)
+        poses = _chain_poses(s, C)
     if vels is None:
-        vels = chain_velocities(s, poses)
+        vels = chain_velocities(s, poses, C)
     Rb, pos = poses["Rb"], poses["pos"]
     E1, E2, E3 = vels["E1"], vels["E2"], vels["E3"]
     v0w, v0u = vels["v0w"], vels["v0u"]
@@ -308,11 +345,11 @@ def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
     sc_h = p.leg_inertia_scale[:, 0]            # (4,B)
     sc_t = p.leg_inertia_scale[:, 1]
     sc_c = p.leg_inertia_scale[:, 2]
-    I1c = [[sa.smul(_HIP_I[i][j], sc_h) for j in range(3)] for i in range(3)]
-    I2c = [[sa.smul(_THIGH_I[i][j], sc_t) for j in range(3)] for i in range(3)]
+    I1c = [[sa.smul(C["HIP_I"][i][j], sc_h) for j in range(3)] for i in range(3)]
+    I2c = [[sa.smul(C["THIGH_I"][i][j], sc_t) for j in range(3)] for i in range(3)]
     I3c = [[sa.smul(_CALF_I[i][j], sc_c) for j in range(3)] for i in range(3)]
-    A1_, H1_, M1_ = spatial_inertia_blocks(m_h, _HIP_COM, I1c)
-    A2_, H2_, M2_ = spatial_inertia_blocks(m_t, _THIGH_COM, I2c)
+    A1_, H1_, M1_ = spatial_inertia_blocks(m_h, C["HIP_COM"], I1c)
+    A2_, H2_, M2_ = spatial_inertia_blocks(m_t, C["THIGH_COM"], I2c)
     A3_, H3_, M3_ = spatial_inertia_blocks(m_c, _CALF_COM, I3c)
 
     # external forces per body: gravity at COM (+ contacts on calf/trunk)
@@ -321,8 +358,8 @@ def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
         com_w = sa.vadd(origin, sa.mv(R, com))
         return _ext_force_local(R, origin, com_w, fw)
 
-    n1f, f1f = grav(poses["Rh"], poses["oh"], m_h, _HIP_COM)
-    n2f, f2f = grav(poses["Rt"], poses["ot"], m_t, _THIGH_COM)
+    n1f, f1f = grav(poses["Rh"], poses["oh"], m_h, C["HIP_COM"])
+    n2f, f2f = grav(poses["Rt"], poses["ot"], m_t, C["THIGH_COM"])
     n3f, f3f = grav(poses["Rc"], poses["oc"], m_c, _CALF_COM)
     nc, fc = _ext_force_local(poses["Rc"], poses["oc"], poses["of"], foot_f)
     n3f, f3f = sa.vadd(n3f, nc), sa.vadd(f3f, fc)
@@ -370,15 +407,15 @@ def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
     pn2, pf2 = sa.vadd(bn2, pn), sa.vadd(bf2, pf)
     A2e, H2e, M2e, pan2, paf2, U2a, U2l, d2, uu2 = eliminate(
         A2t, H2t, M2t, pn2, pf2, 1, tau_l[:, 1], cw2, cu2)
-    tA, tH, tM = xform_inertia_to_parent(E2, _THIGH_R, A2e, H2e, M2e)
-    pn, pf = xform_force_to_parent(E2, _THIGH_R, pan2, paf2)
+    tA, tH, tM = xform_inertia_to_parent(E2, C["THIGH_R"], A2e, H2e, M2e)
+    pn, pf = xform_force_to_parent(E2, C["THIGH_R"], pan2, paf2)
     A1t, H1t, M1t = sa.madd(A1_, tA), sa.madd(H1_, tH), sa.madd(M1_, tM)
     bn1, bf1 = bias_force(A1_, H1_, M1_, w1, u1, n1f, f1f)
     pn1, pf1 = sa.vadd(bn1, pn), sa.vadd(bf1, pf)
     A1e, H1e, M1e, pan1, paf1, U1a, U1l, d1, uu1 = eliminate(
         A1t, H1t, M1t, pn1, pf1, 0, tau_l[:, 0], cw1, cu1)
-    tA, tH, tM = xform_inertia_to_parent(E1, _HIP_R, A1e, H1e, M1e)
-    pn, pf = xform_force_to_parent(E1, _HIP_R, pan1, paf1)
+    tA, tH, tM = xform_inertia_to_parent(E1, C["HIP_R"], A1e, H1e, M1e)
+    pn, pf = xform_force_to_parent(E1, C["HIP_R"], pan1, paf1)
 
     # accumulate legs into base: sum (4,B) → (B,)
     sum4 = lambda x: jnp.sum(x, axis=0) if not isinstance(x, float) else x * 4.0
@@ -410,9 +447,9 @@ def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
         add[ax] = qdd
         return sa.vadd(aw_c, add), au_c, qdd
 
-    aw1, au1, qdd1 = accel(E1, _HIP_R, a0w, a0u, cw1, cu1,
+    aw1, au1, qdd1 = accel(E1, C["HIP_R"], a0w, a0u, cw1, cu1,
                            U1a, U1l, d1, uu1, 0)
-    aw2, au2, qdd2 = accel(E2, _THIGH_R, aw1, au1, cw2, cu2,
+    aw2, au2, qdd2 = accel(E2, C["THIGH_R"], aw1, au1, cw2, cu2,
                            U2a, U2l, d2, uu2, 1)
     aw3, au3, qdd3 = accel(E3, _CALF_R, aw2, au2, cw3, cu3,
                            U3a, U3l, d3, uu3, 1)

@@ -1,0 +1,55 @@
+"""Pallas physics megakernel vs the SoA JAX path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerobotics_tpu.core.config import SimConfig, TaskConfig
+from paddlerobotics_tpu.ops.pallas.physics_step import control_step_pallas
+from paddlerobotics_tpu.sim import a1_model as a1
+from paddlerobotics_tpu.sim import sbatch, terrain
+
+
+def test_megakernel_matches_soa_path():
+    cfg = SimConfig()
+    h_fn = terrain.height_fn(TaskConfig(task_mode="ground"))
+    B = 8
+    rb = sbatch.init_robot(B, height=0.30)
+    p = sbatch.BDynParams.default(B)
+    target = jnp.broadcast_to(
+        jnp.asarray(a1.INIT_MOTOR_ANGLES, jnp.float32)[:, None],
+        (12, B)) + 0.03
+
+    rb_ref = rb
+    rb_pal = rb
+    for _ in range(3):
+        rb_ref = sbatch.control_step(rb_ref, target, p, cfg, h_fn)
+        rb_pal = control_step_pallas(rb_pal, target, p, cfg, h_fn,
+                                     block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(rb_pal.s.q),
+                               np.asarray(rb_ref.s.q), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb_pal.s.pos),
+                               np.asarray(rb_ref.s.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb_pal.s.quat),
+                               np.asarray(rb_ref.s.quat), atol=1e-5)
+    assert bool(jnp.all(rb_pal.contact.foot_contact ==
+                        rb_ref.contact.foot_contact))
+    np.testing.assert_allclose(np.asarray(rb_pal.tau),
+                               np.asarray(rb_ref.tau), atol=1e-4)
+
+
+def test_megakernel_stairs_terrain():
+    cfg = SimConfig()
+    h_fn = terrain.height_fn(TaskConfig(task_mode="up_stair",
+                                        step_height=0.08, step_width=0.3))
+    B = 4
+    rb = sbatch.init_robot(B, height=0.30)
+    p = sbatch.BDynParams.default(B)
+    target = jnp.broadcast_to(
+        jnp.asarray(a1.INIT_MOTOR_ANGLES, jnp.float32)[:, None], (12, B))
+    rb_ref = sbatch.control_step(rb, target, p, cfg, h_fn)
+    rb_pal = control_step_pallas(rb, target, p, cfg, h_fn, block_b=4,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(rb_pal.s.q),
+                               np.asarray(rb_ref.s.q), atol=1e-5)
