@@ -6,7 +6,12 @@ from __future__ import annotations
 
 import argparse
 
+import jax
 import numpy as np
+
+# Tiny host-side artifact job: force CPU so it doesn't pay minutes of
+# remote-TPU compile latency for a (steps,12) table.
+jax.config.update("jax_platforms", "cpu")
 
 from paddlerobotics_tpu.core.config import QuadrupedConfig
 from paddlerobotics_tpu.deploy.policy_export import export_gait_table
