@@ -47,6 +47,7 @@ class BEnvState:
     rng: jax.Array          # single key, folded per step
     last_x: jnp.ndarray     # (B,) previous base x
     done: jnp.ndarray       # (B,) bool
+    filter_z: jnp.ndarray   # (2,12,B) Butterworth carry (action filter)
 
 
 def _soa_ik(fx, fy, fz):
@@ -89,6 +90,11 @@ class BatchedQuadrupedEnv:
         self.torque_mode = mode == "torque"
         h0 = float(np.asarray(self.h_fn(jnp.zeros(()), jnp.zeros(()))))
         self._spawn_height = 0.27 + h0
+        from paddlerobotics_tpu.envs import action_filter as af
+
+        self._af = af
+        self._fb, self._fa = af.butter_lowpass_coeffs(
+            1.0 / config.sim.control_dt)
         # lateral step_y offsets per leg
         self._lat = (config.etg.step_y *
                      np.asarray(etg_model.LATERAL_SIGN, np.float32))
@@ -170,7 +176,8 @@ class BatchedQuadrupedEnv:
         state = BEnvState(
             robot=rb, dyn=dyn, etg_w=etg_w, etg_b=etg_b,
             step_idx=jnp.zeros((self.B,), jnp.int32), rng=rng,
-            last_x=rb.s.pos[0], done=jnp.zeros((self.B,), bool))
+            last_x=rb.s.pos[0], done=jnp.zeros((self.B,), bool),
+            filter_z=self._af.init_filter_state(self._fb, self._fa, rb.s.q))
         etg_act, _, _ = self._etg_residual(etg_w, etg_b, state.step_idx)
         return state, self._observe(state, etg_act)
 
@@ -237,10 +244,16 @@ class BatchedQuadrupedEnv:
         etg_act, swing, stance = self._etg_residual(
             state.etg_w, state.etg_b, state.step_idx)
 
+        filter_z = state.filter_z
         if self.torque_mode:
             cmd = act
         else:
             cmd = jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None] + etg_act + act
+            if cfg.train.enable_action_filter:
+                # Butterworth smoothing of the position target
+                # (ActionFilterWrapper, EnvWrapper.py:287-291)
+                cmd, filter_z = self._af.filter_step(
+                    self._fb, self._fa, filter_z, cmd)
             cmd = jnp.clip(cmd, jnp.asarray(a1.MOTOR_LOWER, F32)[:, None],
                            jnp.asarray(a1.MOTOR_UPPER, F32)[:, None])
 
@@ -303,17 +316,21 @@ class BatchedQuadrupedEnv:
         new_state = BEnvState(
             robot=rb, dyn=state.dyn, etg_w=state.etg_w, etg_b=state.etg_b,
             step_idx=state.step_idx + 1, rng=rng,
-            last_x=s.pos[0], done=done)
+            last_x=s.pos[0], done=done, filter_z=filter_z)
 
         if autoreset:
             fresh = self._fresh_robot()
             sel_r = lambda f, n: jnp.where(
                 done.reshape((1,) * (n.ndim - 1) + (-1,)), f, n)
             rb_next = jax.tree.map(sel_r, fresh, new_state.robot)
+            fresh_fz = self._af.init_filter_state(self._fb, self._fa,
+                                                  fresh.s.q)
             new_state = new_state.replace(
                 robot=rb_next,
                 step_idx=jnp.where(done, 0, new_state.step_idx),
-                last_x=jnp.where(done, fresh.s.pos[0], new_state.last_x))
+                last_x=jnp.where(done, fresh.s.pos[0], new_state.last_x),
+                filter_z=jnp.where(done[None, None, :], fresh_fz,
+                                   new_state.filter_z))
 
         etg_next, _, _ = self._etg_residual(
             new_state.etg_w, new_state.etg_b, new_state.step_idx)
