@@ -151,7 +151,7 @@ class BatchedQuadrupedEnv:
         etg_act = q - jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None]
         swing = dz > 0.02
         stance = dz <= 0.005
-        return etg_act, swing, stance
+        return etg_act, swing, stance, v_a
 
     # -- reset ----------------------------------------------------------------
 
@@ -178,12 +178,13 @@ class BatchedQuadrupedEnv:
             step_idx=jnp.zeros((self.B,), jnp.int32), rng=rng,
             last_x=rb.s.pos[0], done=jnp.zeros((self.B,), bool),
             filter_z=self._af.init_filter_state(self._fb, self._fa, rb.s.q))
-        etg_act, _, _ = self._etg_residual(etg_w, etg_b, state.step_idx)
-        return state, self._observe(state, etg_act)
+        etg_act, _, _, v_a = self._etg_residual(etg_w, etg_b, state.step_idx)
+        return state, self._observe(state, etg_act, v_a)
 
     # -- observation (SoA → (B, obs_dim)) -------------------------------------
 
-    def _observe(self, state: BEnvState, etg_act: jnp.ndarray) -> jnp.ndarray:
+    def _observe(self, state: BEnvState, etg_act: jnp.ndarray,
+                 etg_features: jnp.ndarray | None = None) -> jnp.ndarray:
         cfg = self.cfg.sensors
         rb = state.robot
         s = rb.s
@@ -225,6 +226,20 @@ class BatchedQuadrupedEnv:
             mean = jnp.asarray(sensors.ETG_MEAN, F32)[:, None]
             std = jnp.asarray(sensors.ETG_STD, F32)[:, None]
             parts.append((etg_act - mean) / std if cfg.normal else etg_act)
+        if cfg.etg_obs and etg_features is not None:
+            parts.append(etg_features)              # (H,B) phase features
+        if cfg.footpose:
+            # foot positions in base frame: R_bᵀ (p_w − base)  (3,4,B)→(12,B)
+            fp = rb.contact.foot_pos
+            dx = fp[0] - s.pos[0]
+            dy = fp[1] - s.pos[1]
+            dz = fp[2] - s.pos[2]
+            bx = Rb[0][0] * dx + Rb[1][0] * dy + Rb[2][0] * dz
+            by = Rb[0][1] * dx + Rb[1][1] * dy + Rb[2][1] * dz
+            bz = Rb[0][2] * dx + Rb[1][2] * dy + Rb[2][2] * dz
+            parts.append(jnp.stack([bx, by, bz], axis=1).reshape(12, -1))
+        if cfg.force_vec:
+            parts.append(state.dyn.external_force)
         obs = jnp.concatenate(parts, axis=0)        # (obs_dim, B)
         if cfg.noise:
             k = jax.random.fold_in(state.rng, jnp.sum(state.step_idx) % 65536)
@@ -241,7 +256,7 @@ class BatchedQuadrupedEnv:
         cfg = self.cfg
         B = self.B
         act = actions.T.astype(F32)                 # (12,B)
-        etg_act, swing, stance = self._etg_residual(
+        etg_act, swing, stance, _ = self._etg_residual(
             state.etg_w, state.etg_b, state.step_idx)
 
         filter_z = state.filter_z
@@ -332,9 +347,9 @@ class BatchedQuadrupedEnv:
                 filter_z=jnp.where(done[None, None, :], fresh_fz,
                                    new_state.filter_z))
 
-        etg_next, _, _ = self._etg_residual(
+        etg_next, _, _, v_next = self._etg_residual(
             new_state.etg_w, new_state.etg_b, new_state.step_idx)
-        obs = self._observe(new_state, etg_next)
+        obs = self._observe(new_state, etg_next, v_next)
         info = {
             "torso": r_torso, "up": r_up, "feet": r_feet, "tau": r_tau,
             "stand": r_stand, "badfoot": r_badfoot,

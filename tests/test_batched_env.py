@@ -38,7 +38,7 @@ def test_matches_per_env_etg(benv):
     """The SoA ETG residual must equal the per-env path's."""
     env = make_env("Quadrupedal", task="ground")
     state, _ = benv.reset(jax.random.key(0))
-    etg_b, _, _ = benv._etg_residual(state.etg_w, state.etg_b,
+    etg_b, _, _, _ = benv._etg_residual(state.etg_w, state.etg_b,
                                      jnp.asarray([5, 5, 5, 5]))
     # per-env
     pstate, _ = env.reset(jax.random.key(0))
@@ -63,3 +63,20 @@ def test_autoreset_resets_fallen(benv):
     assert bool(done[0])
     assert int(state.step_idx[0]) == 0
     assert int(state.step_idx[1]) == 1
+
+
+def test_optional_sensors():
+    import dataclasses
+    from paddlerobotics_tpu.core.config import SensorConfig
+
+    cfg = QuadrupedConfig(sensors=SensorConfig(etg_obs=True, footpose=True,
+                                               force_vec=True))
+    env = BatchedQuadrupedEnv(cfg, num_envs=2)
+    assert env.obs_dim == 49 + 20 + 12 + 3
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (2, env.obs_dim)
+    state, obs, rew, done, info = env.step(state, jnp.zeros((2, 12)))
+    assert obs.shape == (2, env.obs_dim)
+    # footpose block: feet below the base in base frame (z < 0)
+    foot_z = np.asarray(obs[0, 49 + 20:49 + 20 + 12]).reshape(4, 3)[:, 2]
+    assert np.all(foot_z < 0)
