@@ -55,3 +55,20 @@ def test_es_eval_population_assignment(tiny_cfg):
     # identical candidates → identical fitness
     np.testing.assert_allclose(np.asarray(fitness),
                                np.asarray(fitness)[0] * np.ones(4), rtol=1e-4)
+
+
+def test_bc_trainer_smoke(tiny_cfg):
+    from paddlerobotics_tpu.algos.sac import SAC
+    from paddlerobotics_tpu.train.bc_train import BCTrainer
+
+    expert = SAC(49, 12, tiny_cfg.sac)
+    expert_state = expert.init(jax.random.key(0))
+    bc = BCTrainer(tiny_cfg, expert, expert_state, num_envs=4,
+                   outdir="/tmp/bc_test")
+    bc_state, losses = bc.train(total_steps=200, collect_chunk=8,
+                                distill_epochs=2)
+    assert np.isfinite(float(losses["actor_loss"]))
+    assert np.isfinite(float(losses["critic_loss"]))
+    # student predicts from the truncated view
+    act = bc.bc.predict(bc_state.actor_params, jnp.zeros((2, 46)))
+    assert act.shape == (2, 12)
