@@ -53,6 +53,7 @@ class AttnCtrlConfig:
     obj_loss_coef: float = 1.0
     act_loss_coef: float = 1.0
     use_last_act_loss: bool = False
+    use_pallas_attention: bool = False
 
 
 class TriggerHead(nn.Module):
@@ -130,7 +131,7 @@ class AttentionController(nn.Module):
             cfg.num_decoder_blocks, cfg.model_dim, cfg.num_heads,
             cfg.ffn_dim, tokens_per_frame=cfg.tokens_per_frame,
             dropout=cfg.dropout, normalize_before=cfg.normalize_before,
-            name="decoder")
+            use_pallas=cfg.use_pallas_attention, name="decoder")
         hid, frame_hid, present_kv, attn_w = decoder(
             x, frame_emb, attn_mask, padding_mask,
             past_kv_arr=past_kv_arr, past_padding_mask=past_padding_mask,

@@ -54,3 +54,52 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert out[0].shape[0] == 256
+
+
+def test_sharded_rollout_chunk():
+    """A multi-step sharded rollout (scan) on the 8-device mesh must
+    run and keep env-state shards on their devices."""
+    from paddlerobotics_tpu.core.config import QuadrupedConfig
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+
+    B = 16
+    env = BatchedQuadrupedEnv(QuadrupedConfig(), num_envs=B)
+    mesh = sh.make_mesh(n_env=8, n_model=1)
+    state, obs = env.reset(jax.random.key(0))
+    state = sh.shard_env_state(mesh, state)
+
+    def rollout(state):
+        def body(s, _):
+            ns, o, r, d, _ = env.step(s, jnp.zeros((B, 12)))
+            return ns, r
+        return jax.lax.scan(body, state, None, length=5)
+
+    with jax.set_mesh(mesh):
+        final, rews = jax.jit(rollout)(state)
+    assert rews.shape == (5, B)
+    assert np.all(np.isfinite(np.asarray(rews)))
+    # state stays sharded over the env axis
+    shard = final.robot.s.q.sharding
+    assert "env" in str(shard.spec) or len(shard.device_set) == 8
+
+
+def test_es_population_sharded_eval():
+    """ES population fitness evaluation sharded over the mesh."""
+    import dataclasses
+    from paddlerobotics_tpu.core.config import ESConfig, QuadrupedConfig, \
+        TrainConfig
+    from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
+
+    cfg = QuadrupedConfig(
+        es=ESConfig(popsize=8, es_episode_len=5),
+        train=TrainConfig(num_envs=16))
+    tr = ETGRLTrainer(cfg, num_envs=16, outdir="/tmp/es_shard_test")
+    sols = jnp.zeros((8, 12))
+    ws, bs = tr.fit_etg_population(sols)
+    sac_state = tr.sac.init(jax.random.key(0))
+    mesh = sh.make_mesh(n_env=8, n_model=1)
+    with jax.set_mesh(mesh):
+        fitness, ep_len, _ = tr.es_eval(sac_state.actor_params, ws, bs,
+                                        jax.random.key(1), 5, 8)
+    assert fitness.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(fitness)))
