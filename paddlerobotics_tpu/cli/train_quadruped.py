@@ -13,8 +13,8 @@ import dataclasses
 from paddlerobotics_tpu.core.config import (ESConfig, ETGConfig,
                                             QuadrupedConfig, RandomConfig,
                                             RewardConfig, SACConfig,
-                                            SensorConfig, TaskConfig,
-                                            TrainConfig)
+                                            SensorConfig, SimConfig,
+                                            TaskConfig, TrainConfig)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -70,11 +70,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_envs", type=int, default=4096)
     p.add_argument("--chunk_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_pallas", type=int, default=1,
+                   help="VMEM physics megakernel (TPU only; ~4x)")
     return p
 
 
 def config_from_args(args) -> QuadrupedConfig:
+    import jax
+
+    use_pallas = bool(getattr(args, "use_pallas", 0)) and \
+        jax.default_backend() != "cpu"
     return QuadrupedConfig(
+        sim=SimConfig(use_pallas=use_pallas),
         sensors=SensorConfig(
             dis=bool(args.sensor_dis), motor=args.sensor_motor,
             imu=args.sensor_imu, contact=bool(args.sensor_contact),

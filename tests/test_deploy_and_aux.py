@@ -155,3 +155,15 @@ def test_obs_history_wrapper():
     gru = ObsHistoryWrapper(env, time_steps=3, mode="GRU")
     state, obs = gru.reset(jax.random.key(0))
     assert obs.shape == (2, 4, 49)
+
+
+def test_render_frame():
+    from paddlerobotics_tpu.deploy.visualize import render_frame
+
+    frame = render_frame(np.array([0.0, 0.0, 0.27]),
+                         np.array([1.0, 0, 0, 0]),
+                         np.array([0, 0.9, -1.8] * 4))
+    assert frame.shape == (480, 640, 3)
+    assert frame.dtype == np.uint8
+    # not blank
+    assert frame.std() > 5
