@@ -41,11 +41,6 @@ def make_mesh(n_env: int | None = None, n_model: int = 1,
     return Mesh(arr, ("env", "model"))
 
 
-def env_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for batch-minor env leaves: last axis over 'env'."""
-    return NamedSharding(mesh, P())  # placeholder; use shard_env_state
-
-
 def shard_env_state(mesh: Mesh, tree: Any) -> Any:
     """Place every leaf with its LAST axis sharded over the env axis
     (batch-minor layout ⇒ the batch is the last axis everywhere)."""
