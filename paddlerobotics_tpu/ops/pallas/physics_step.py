@@ -47,6 +47,7 @@ def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int):
     n = cfg.action_repeat
     prev = prev_r[...]
     act = act_r[...]
+    inertias = sbatch.build_inertias(params, C)
 
     state0 = (pos_r[...], quat_r[...], w_r[...], v_r[...], q_r[...],
               qd_r[...])
@@ -76,7 +77,8 @@ def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int):
         contact, foot_f, knee_f, base_f = sbatch.compute_contacts(
             s, poses, vels, h_fn, params, cfg)
         a0, qdd = sbatch.forward_dynamics(
-            s, tau, foot_f, knee_f, base_f, params, poses, vels, C)
+            s, tau, foot_f, knee_f, base_f, params, poses, vels, C,
+            inertias=inertias)
         ns = sbatch.integrate(s, a0, qdd, cfg.substep_dt, cfg)
         aux = (tau, contact.foot_pos,
                contact.foot_contact.astype(F32),

@@ -315,25 +315,14 @@ def chain_velocities(s: BQuadState, poses, C=None):
                 w3=w3, u3=u3, cw3=cw3, cu3=cu3)
 
 
-def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
-                     foot_f, knee_f, base_f,
-                     p: BDynParams, poses=None, vels=None, C=None):
-    """Batched ABA. tau (12,B); forces are smallalg Vec3s with (4,B) or
-    (B,) components in WORLD frame. Returns (a0 (6,B list), qdd (12,B))."""
-    C = C or _DEFAULT_C
-    if poses is None:
-        poses = _chain_poses(s, C)
-    if vels is None:
-        vels = chain_velocities(s, poses, C)
-    Rb, pos = poses["Rb"], poses["pos"]
-    E1, E2, E3 = vels["E1"], vels["E2"], vels["E3"]
-    v0w, v0u = vels["v0w"], vels["v0u"]
-    w1, u1, cw1, cu1 = vels["w1"], vels["u1"], vels["cw1"], vels["cu1"]
-    w2, u2, cw2, cu2 = vels["w2"], vels["u2"], vels["cw2"], vels["cu2"]
-    w3, u3, cw3, cu3 = vels["w3"], vels["u3"], vels["cw3"], vels["cu3"]
-    g = [p.gravity[0], p.gravity[1], p.gravity[2]]
+def build_inertias(p: BDynParams, C=None):
+    """Spatial-inertia blocks for trunk + legs with randomization scales.
 
-    # masses & inertias (randomization scales applied)
+    Pure function of the physics params — loop-invariant across
+    substeps, so callers (notably the Pallas megakernel) hoist it out
+    of the integration loop.
+    """
+    C = C or _DEFAULT_C
     m0 = p.base_mass_scale * a1.TRUNK_MASS
     I0c = [[sa.smul(_TRUNK_I[i][j], p.base_inertia_scale[i])
             for j in range(3)] for i in range(3)]
@@ -351,6 +340,40 @@ def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
     A1_, H1_, M1_ = spatial_inertia_blocks(m_h, C["HIP_COM"], I1c)
     A2_, H2_, M2_ = spatial_inertia_blocks(m_t, C["THIGH_COM"], I2c)
     A3_, H3_, M3_ = spatial_inertia_blocks(m_c, _CALF_COM, I3c)
+    return {"A0": A0, "H0": H0, "M0": M0,
+            "A1": A1_, "H1": H1_, "M1": M1_,
+            "A2": A2_, "H2": H2_, "M2": M2_,
+            "A3": A3_, "H3": H3_, "M3": M3_,
+            "m0": m0, "m_h": m_h, "m_t": m_t, "m_c": m_c}
+
+
+def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
+                     foot_f, knee_f, base_f,
+                     p: BDynParams, poses=None, vels=None, C=None,
+                     inertias=None):
+    """Batched ABA. tau (12,B); forces are smallalg Vec3s with (4,B) or
+    (B,) components in WORLD frame. Returns (a0 (6,B list), qdd (12,B))."""
+    C = C or _DEFAULT_C
+    if poses is None:
+        poses = _chain_poses(s, C)
+    if vels is None:
+        vels = chain_velocities(s, poses, C)
+    if inertias is None:
+        inertias = build_inertias(p, C)
+    Rb, pos = poses["Rb"], poses["pos"]
+    E1, E2, E3 = vels["E1"], vels["E2"], vels["E3"]
+    v0w, v0u = vels["v0w"], vels["v0u"]
+    w1, u1, cw1, cu1 = vels["w1"], vels["u1"], vels["cw1"], vels["cu1"]
+    w2, u2, cw2, cu2 = vels["w2"], vels["u2"], vels["cw2"], vels["cu2"]
+    w3, u3, cw3, cu3 = vels["w3"], vels["u3"], vels["cw3"], vels["cu3"]
+    g = [p.gravity[0], p.gravity[1], p.gravity[2]]
+
+    ine = inertias
+    A0, H0, M0 = ine["A0"], ine["H0"], ine["M0"]
+    A1_, H1_, M1_ = ine["A1"], ine["H1"], ine["M1"]
+    A2_, H2_, M2_ = ine["A2"], ine["H2"], ine["M2"]
+    A3_, H3_, M3_ = ine["A3"], ine["H3"], ine["M3"]
+    m0, m_h, m_t, m_c = ine["m0"], ine["m_h"], ine["m_t"], ine["m_c"]
 
     # external forces per body: gravity at COM (+ contacts on calf/trunk)
     def grav(R, origin, m, com):
@@ -574,7 +597,7 @@ def integrate(s: BQuadState, a0, qdd, dt: float, cfg: SimConfig) -> BQuadState:
 # --- substep / control step --------------------------------------------------
 
 def substep(rb: BRobot, cmd: jnp.ndarray, p: BDynParams, cfg: SimConfig,
-            h_fn, torque_mode: bool = False) -> BRobot:
+            h_fn, torque_mode: bool = False, inertias=None) -> BRobot:
     """One physics substep: PD (on 1-substep-delayed obs) → contacts →
     ABA → integrate."""
     s = rb.s
@@ -594,7 +617,8 @@ def substep(rb: BRobot, cmd: jnp.ndarray, p: BDynParams, cfg: SimConfig,
     contact, foot_f, knee_f, base_f = compute_contacts(
         s, poses, vels, h_fn, p, cfg)
     a0, qdd = forward_dynamics(
-        s, tau, foot_f, knee_f, base_f, p, poses, vels)
+        s, tau, foot_f, knee_f, base_f, p, poses, vels,
+        inertias=inertias)
     s_new = integrate(s, a0, qdd, cfg.substep_dt, cfg)
     return BRobot(
         s=s_new, q_prev=s.q, qd_prev=s.qd,
@@ -608,6 +632,7 @@ def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
     minitaur.Step:248-258 + ProcessAction:1384-1401), batched."""
     prev = rb.last_action
     n = cfg.action_repeat
+    inertias = build_inertias(p)
 
     def body(carry, i):
         rb_ = carry
@@ -616,7 +641,7 @@ def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
             cmd = prev + t * (action - prev)
         else:
             cmd = action
-        rb_ = substep(rb_, cmd, p, cfg, h_fn, torque_mode)
+        rb_ = substep(rb_, cmd, p, cfg, h_fn, torque_mode, inertias)
         return rb_, None
 
     rb, _ = jax.lax.scan(body, rb, jnp.arange(n, dtype=F32))
