@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=1,
                    help="VMEM physics megakernel (TPU only; ~4x)")
+    p.add_argument("--ETG_path", type=str, default="None",
+                   help="npz with pretrained ETG 'param' (train.py:281)")
     return p
 
 
@@ -131,8 +133,13 @@ def main(argv=None):
                                              cfg.train.eval_episode_len)
         print(f"eval reward {float(ret):.2f} steps {float(steps):.1f}")
         return
+    init_param = None
+    if args.ETG_path not in ("", "None") and os.path.exists(args.ETG_path):
+        import numpy as np
+
+        init_param = np.load(args.ETG_path)["param"].reshape(-1)
     trainer.train(max_steps=args.max_steps, chunk_steps=args.chunk_steps,
-                  seed=args.seed)
+                  seed=args.seed, init_etg_param=init_param)
 
 
 if __name__ == "__main__":

@@ -217,15 +217,21 @@ class ETGRLTrainer:
 
     def train(self, max_steps: int | None = None,
               chunk_steps: int = 50, seed: int = 0,
-              checkpoint: bool = True):
+              checkpoint: bool = True,
+              init_etg_param: jnp.ndarray | None = None):
+        """init_etg_param: 12 control-point offsets to start the gait
+        from (the reference's --ETG_path npz "param",
+        train.py:281-295) — e.g. the output of ETGPretrainer."""
         cfg = self.cfg
         tcfg = cfg.train
         max_steps = max_steps or tcfg.max_steps
         rng = jax.random.key(seed)
         rng, k_env, k_sac, k_es = jax.random.split(rng, 4)
 
-        es_state = self.solver.init(jnp.zeros(cfg.es.num_params))
-        etg_best_param = jnp.zeros(cfg.es.num_params)
+        if init_etg_param is None:
+            init_etg_param = jnp.zeros(cfg.es.num_params)
+        es_state = self.solver.init(jnp.asarray(init_etg_param))
+        etg_best_param = jnp.asarray(init_etg_param)
         w, b = self.fit_etg(etg_best_param)
 
         w_env, b_env = self._broadcast_etg(w, b)
