@@ -173,3 +173,45 @@ def test_tracker_two_objects_distinct_ids():
         state, tid = tracker.tracker_update(state, boxes, feats, valid)
     assert int(jnp.sum(state.status == tracker.CONFIRMED)) == 2
     assert int(tid[0]) != int(tid[1])
+
+
+def test_controller_instance_variant():
+    """The 'instance' ablation inputs (inst_fm + cls + pos) must build
+    and produce the same head shapes (attention_ctrl.py:91, 303-356)."""
+    cfg = AttnCtrlConfig(inputs_type="instance", num_actions=9,
+                         num_frames=2, tokens_per_frame=3, model_dim=16,
+                         num_decoder_blocks=1, num_heads=2, ffn_dim=32,
+                         act_tr_dim=12, inst_fm_reduce_dim=8,
+                         inst_fm_flatten_dim=16)
+    model = AttentionController(cfg)
+    B, T = 2, 6
+    tokens = {
+        "inst_fm": jnp.zeros((B, T, 4, 5, 5)),
+        "inst_cls": jnp.zeros((B, T, cfg.inst_cls_dim)),
+        "inst_pos_emb": jnp.zeros((B, T, cfg.inst_pos_dim)),
+    }
+    fids = jnp.tile(jnp.asarray([1, 1, 1, 2, 2, 2]), (B, 1))
+    pad = jnp.ones((B, T))
+    params = model.init(jax.random.key(0), tokens, fids, pad)
+    out = model.apply(params, tokens, fids, pad)
+    assert out["trigger_logits"].shape == (B, 2)
+    assert out["act_logits"].shape == (B, 2, 9)
+
+
+def test_controller_without_fm_variant():
+    """without_inst_fm ablation: cls + pos only."""
+    cfg = AttnCtrlConfig(inputs_type="without_inst_fm", num_actions=9,
+                         num_frames=2, tokens_per_frame=3, model_dim=16,
+                         num_decoder_blocks=1, num_heads=2, ffn_dim=32,
+                         act_tr_dim=12)
+    model = AttentionController(cfg)
+    B, T = 2, 6
+    tokens = {
+        "inst_cls": jnp.zeros((B, T, cfg.inst_cls_dim)),
+        "inst_pos_emb": jnp.zeros((B, T, cfg.inst_pos_dim)),
+    }
+    fids = jnp.tile(jnp.asarray([1, 1, 1, 2, 2, 2]), (B, 1))
+    pad = jnp.ones((B, T))
+    params = model.init(jax.random.key(1), tokens, fids, pad)
+    out = model.apply(params, tokens, fids, pad)
+    assert out["obj_logits"].shape == (B, T)
