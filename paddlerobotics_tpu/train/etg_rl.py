@@ -41,6 +41,40 @@ INFO_CHANNELS = ("torso", "up", "feet", "tau", "stand", "badfoot",
                  "footcontact", "velx", "success")
 
 
+
+
+def _build_solver(ecfg):
+    """Instantiate the configured ES solver (train.py uses SimpleGA;
+    alg/es.py ships five — all selectable via ESConfig.solver)."""
+    name = ecfg.solver
+    if name == "simple_ga":
+        return es_mod.SimpleGA(
+            ecfg.num_params, sigma_init=ecfg.sigma_init,
+            sigma_decay=ecfg.sigma_decay, sigma_limit=ecfg.sigma_limit,
+            popsize=ecfg.popsize, elite_ratio=ecfg.elite_ratio,
+            weight_decay=ecfg.weight_decay)
+    if name == "simple_es":
+        return es_mod.SimpleES(
+            ecfg.num_params, popsize=ecfg.popsize,
+            sigma_init=ecfg.sigma_init, sigma_decay=ecfg.sigma_decay,
+            sigma_limit=ecfg.sigma_limit, weight_decay=ecfg.weight_decay)
+    if name == "open_es":
+        return es_mod.OpenES(
+            ecfg.num_params, sigma_init=ecfg.sigma_init,
+            sigma_decay=ecfg.sigma_decay, sigma_limit=ecfg.sigma_limit,
+            popsize=ecfg.popsize, weight_decay=ecfg.weight_decay)
+    if name == "pepg":
+        return es_mod.PEPG(
+            ecfg.num_params, sigma_init=ecfg.sigma_init,
+            sigma_decay=ecfg.sigma_decay, sigma_limit=ecfg.sigma_limit,
+            popsize=ecfg.popsize, weight_decay=ecfg.weight_decay)
+    if name == "cma_es":
+        return es_mod.CMAES(ecfg.num_params, sigma_init=ecfg.sigma_init,
+                            popsize=ecfg.popsize,
+                            weight_decay=ecfg.weight_decay)
+    raise ValueError(f"unknown ES solver {name!r}")
+
+
 class TrainCarry(NamedTuple):
     env_state: BEnvState
     obs: jnp.ndarray
@@ -58,11 +92,7 @@ class ETGRLTrainer:
         self.env = BatchedQuadrupedEnv(config, self.B)
         self.sac = SAC(self.env.obs_dim, 12, config.sac)
         ecfg = config.es
-        self.solver = es_mod.SimpleGA(
-            ecfg.num_params, sigma_init=ecfg.sigma_init,
-            sigma_decay=ecfg.sigma_decay, sigma_limit=ecfg.sigma_limit,
-            popsize=ecfg.popsize, elite_ratio=ecfg.elite_ratio,
-            weight_decay=ecfg.weight_decay)
+        self.solver = _build_solver(ecfg)
         self.updates_per_step = updates_per_step
         self.outdir = outdir
         self.logger = metrics_mod.MetricsLogger(outdir, use_tensorboard)
@@ -306,11 +336,12 @@ class ETGRLTrainer:
                                            float(jnp.mean(fitness)), es_gen)
                     self.logger.add_scalar("ES/episode_maxre",
                                            float(jnp.max(fitness)), es_gen)
-                    self.logger.add_scalar("ES/sigma",
-                                           float(es_state.sigma), es_gen)
+                    self.logger.add_scalar(
+                        "ES/sigma", float(jnp.mean(es_state.sigma)), es_gen)
                 etg_best_param = best_param
                 w, b = self.fit_etg(etg_best_param)
-                es_state = self.solver.reset(es_state, etg_best_param)
+                if hasattr(self.solver, "reset"):
+                    es_state = self.solver.reset(es_state, etg_best_param)
                 # refresh env ETG for subsequent SAC rollouts
                 w_env, b_env = self._broadcast_etg(w, b)
                 carry = carry._replace(env_state=carry.env_state.replace(

@@ -72,3 +72,14 @@ def test_bc_trainer_smoke(tiny_cfg):
     # student predicts from the truncated view
     act = bc.bc.predict(bc_state.actor_params, jnp.zeros((2, 46)))
     assert act.shape == (2, 12)
+
+
+def test_solver_selection():
+    import dataclasses
+    from paddlerobotics_tpu.algos import es as es_mod
+
+    for name, cls in (("open_es", es_mod.OpenES), ("cma_es", es_mod.CMAES),
+                      ("simple_es", es_mod.SimpleES)):
+        cfg = QuadrupedConfig(es=ESConfig(solver=name, popsize=4))
+        tr = ETGRLTrainer(cfg, num_envs=4, outdir="/tmp/solver_test")
+        assert isinstance(tr.solver, cls)
