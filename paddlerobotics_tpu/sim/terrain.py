@@ -27,11 +27,14 @@ _SLOPE_RUN = 3.0     # meters of slope before plateau
 
 
 def _hash01(ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
-    """Deterministic pseudo-random [0,1) per integer grid cell (obstacle field)."""
-    h = (ix * 374761393 + iy * 668265263).astype(jnp.uint32)
-    h = (h ^ (h >> 13)) * jnp.uint32(1274126177)
+    """Deterministic pseudo-random [0,1) per integer grid cell (obstacle
+    field). int32-only mixing: Mosaic (Pallas TPU) has no uint32→float
+    cast, so we mask to the low 23 bits before converting."""
+    h = ix * 374761393 + iy * 668265263
+    h = (h ^ (h >> 13)) * 1274126177
     h = h ^ (h >> 16)
-    return h.astype(jnp.float32) / 4294967296.0
+    h = h & 0x7FFFFF
+    return h.astype(jnp.float32) * (1.0 / float(0x800000))
 
 
 def height_fn(task: TaskConfig) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
