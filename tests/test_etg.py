@@ -89,3 +89,21 @@ def test_phase_tables_shift(cfg):
     v_direct = oscillator.update(jnp.asarray(5 * cfg.dt + cfg.T / 2), cfg)
     np.testing.assert_allclose(np.asarray(vb[5]), np.asarray(v_direct),
                                atol=1e-5)
+
+
+def test_asymmetric_t2_period():
+    """T2 ≠ T gives a Lissajous phase curve; features stay bounded and
+    periodic with period lcm(T, T2)."""
+    cfg2 = ETGConfig(T=0.5, T2=0.25)
+    v0 = oscillator.update(jnp.asarray(0.07), cfg2)
+    v1 = oscillator.update(jnp.asarray(0.07 + 0.5), cfg2)  # lcm(0.5,0.25)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
+    # not periodic at T2 alone
+    v2 = oscillator.update(jnp.asarray(0.07 + 0.25), cfg2)
+    assert float(jnp.abs(v0 - v2).max()) > 1e-3
+    # fit still interpolates the control points
+    w, b = etg_fit.opt_with_points(cfg2)
+    A = etg_fit.basis_matrix(cfg2)
+    pts = etg_fit.prior_points(cfg2)
+    np.testing.assert_allclose(np.asarray(A @ w[2] + b[2]), pts[:, 1],
+                               atol=5e-3)
