@@ -275,12 +275,19 @@ class BatchedQuadrupedEnv:
         rng = jax.random.fold_in(state.rng, jnp.asarray(17, jnp.uint32))
         dyn = state.dyn
         if cfg.random.random_force:
+            # Sporadic pushes (perturbation bursts, not a constant wind):
+            # ~0.26 s push every ~3.9 s, direction/magnitude fixed per
+            # burst (resampled via the burst index).
+            burst = state.step_idx // 150              # (B,)
+            active = (state.step_idx % 150) < 10
             kf = jax.random.fold_in(rng, jnp.asarray(3, jnp.uint32))
-            d = jax.random.normal(kf, (2, B))
-            d = d / (jnp.sqrt(d[0] ** 2 + d[1] ** 2) + 1e-6)
-            mag = jax.random.uniform(kf, (B,)) * cfg.random.max_force
+            kd_, km_ = jax.random.split(kf)
+            phi = jax.random.uniform(kd_, (B,), minval=0.0,
+                                     maxval=2 * jnp.pi) + 0.61 * burst
+            mag = jax.random.uniform(km_, (B,)) * cfg.random.max_force
+            mag = mag * active.astype(F32)
             dyn = dyn._replace(external_force=jnp.stack(
-                [mag * d[0], mag * d[1], jnp.zeros(B)]))
+                [mag * jnp.cos(phi), mag * jnp.sin(phi), jnp.zeros(B)]))
 
         if cfg.sim.use_pallas:
             from paddlerobotics_tpu.ops.pallas.physics_step import \
