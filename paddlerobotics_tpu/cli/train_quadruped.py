@@ -124,6 +124,8 @@ def main(argv=None):
 
     outdir = os.path.join(args.outdir, args.suffix)
     trainer = ETGRLTrainer(cfg, num_envs=args.num_envs, outdir=outdir)
+    if args.load:
+        trainer.restore(args.load)
     if args.eval:
         import jax
         w, b = trainer.fit_etg(__import__("jax.numpy", fromlist=["zeros"]

@@ -116,6 +116,9 @@ class RandomConfig:
 
     random_dynamics: bool = False
     random_force: bool = False
+    # Scale on the normalized [-1,1] dynamics sample before param2dynamic
+    # (1.0 = the reference's full ranges; smaller = curriculum-mild DR).
+    dynamics_scale: float = 1.0
     # Ranges (low, high) for randomized physical params; the param2dynamic
     # mapping in envs/randomize.py converts [-1,1]^48 into these.
     latency_range: Tuple[float, float] = (0.0, 0.08)   # seconds

@@ -168,7 +168,9 @@ class BatchedQuadrupedEnv:
         if dyn is None:
             if self.cfg.random.random_dynamics:
                 keys = jax.random.split(rng, self.B)
-                dp = jax.vmap(randomize.sample_dynamics)(keys)
+                sc = self.cfg.random.dynamics_scale
+                dp = jax.vmap(lambda k: randomize.sample_dynamics(
+                    k, scale=sc))(keys)
                 dyn = BDynParams.from_leading(dp)
             else:
                 dyn = BDynParams.default(self.B)

@@ -53,11 +53,15 @@ def param2dynamic(params: jnp.ndarray) -> DynamicsParams:
     )
 
 
-def sample_dynamics(rng: jax.Array, enable: bool = True) -> DynamicsParams:
-    """Sample randomized dynamics (Random_Param_Dict['random_dynamics'])."""
+def sample_dynamics(rng: jax.Array, enable: bool = True,
+                    scale: float = 1.0) -> DynamicsParams:
+    """Sample randomized dynamics (Random_Param_Dict['random_dynamics']).
+
+    `scale` shrinks the normalized sample toward nominal (curriculum)."""
     if not enable:
         return DynamicsParams.default()
-    p = jax.random.uniform(rng, (NUM_DYNAMIC_PARAMS,), minval=-1.0, maxval=1.0)
+    p = jax.random.uniform(rng, (NUM_DYNAMIC_PARAMS,), minval=-1.0,
+                           maxval=1.0) * scale
     return param2dynamic(p)
 
 

@@ -95,6 +95,7 @@ class ETGRLTrainer:
         self.solver = _build_solver(ecfg)
         self.updates_per_step = updates_per_step
         self.outdir = outdir
+        self._restore_from = None
         self.logger = metrics_mod.MetricsLogger(outdir, use_tensorboard)
         self.act_bound = jnp.asarray(self.env.act_bound)
 
@@ -104,6 +105,13 @@ class ETGRLTrainer:
 
         # jitted phase programs (built lazily per chunk length)
         self._rollout_cache = {}
+
+
+    def restore(self, target: str):
+        """Arm a checkpoint restore for the next train() call
+        (the reference's --load, train.py:333-334)."""
+        self._restore_from = target
+        return self
 
     # -- ETG fitting ---------------------------------------------------------
 
@@ -260,13 +268,20 @@ class ETGRLTrainer:
 
         if init_etg_param is None:
             init_etg_param = jnp.zeros(cfg.es.num_params)
+        sac_state = self.sac.init(k_sac)
+        if getattr(self, "_restore_from", None):
+            restored = checkpoints.restore(self._restore_from, {
+                "sac": sac_state._asdict(),
+                "etg_w": jnp.zeros((3, cfg.etg.H)), "etg_b": jnp.zeros(3),
+                "etg_param": jnp.zeros(cfg.es.num_params)})
+            sac_state = type(sac_state)(**restored["sac"])
+            init_etg_param = jnp.asarray(restored["etg_param"])
         es_state = self.solver.init(jnp.asarray(init_etg_param))
         etg_best_param = jnp.asarray(init_etg_param)
         w, b = self.fit_etg(etg_best_param)
 
         w_env, b_env = self._broadcast_etg(w, b)
         env_state, obs = jax.jit(self.env.reset)(k_env, w_env, b_env)
-        sac_state = self.sac.init(k_sac)
         buf = replay.create(cfg.sac.memory_size, self.env.obs_dim, 12)
         carry = TrainCarry(env_state, obs, sac_state, buf, rng)
 

@@ -83,3 +83,26 @@ def test_solver_selection():
         cfg = QuadrupedConfig(es=ESConfig(solver=name, popsize=4))
         tr = ETGRLTrainer(cfg, num_envs=4, outdir="/tmp/solver_test")
         assert isinstance(tr.solver, cls)
+
+
+def test_checkpoint_restore_roundtrip(tiny_cfg, tmp_path):
+    from paddlerobotics_tpu.train import checkpoints
+
+    t1 = ETGRLTrainer(tiny_cfg, num_envs=8, outdir=str(tmp_path / "a"))
+    carry, (w, b, param) = t1.train(max_steps=500, chunk_steps=10,
+                                    checkpoint=False)
+    target = checkpoints.save(str(tmp_path / "a"), {
+        "sac": carry.sac_state._asdict(),
+        "etg_w": w, "etg_b": b, "etg_param": param}, 500)
+
+    t2 = ETGRLTrainer(tiny_cfg, num_envs=8, outdir=str(tmp_path / "b"))
+    t2.restore(target)
+    carry2, _ = t2.train(max_steps=200, chunk_steps=10, checkpoint=False)
+    # restored weights were the starting point: actor params differ from a
+    # fresh init but training continued without error
+    a_restored = jax.tree.leaves(carry2.sac_state.actor_params)[0]
+    fresh = t2.sac.init(jax.random.key(99))
+    a_fresh = jax.tree.leaves(fresh.actor_params)[0]
+    assert a_restored.shape == a_fresh.shape
+    assert np.isfinite(np.asarray(a_restored)).all()
+    assert checkpoints.latest_step(str(tmp_path / "a")) == 500
