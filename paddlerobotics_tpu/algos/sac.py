@@ -31,6 +31,8 @@ class SACState(NamedTuple):
     target_critic_params: dict
     actor_opt: optax.OptState
     critic_opt: optax.OptState
+    log_alpha: jnp.ndarray = None        # () when auto_alpha, else unused
+    alpha_opt: optax.OptState = None
 
 
 class SAC:
@@ -45,6 +47,8 @@ class SAC:
         self.critic = Critic(hidden=cfg.hidden_dim)
         self.actor_tx = optax.adam(cfg.actor_lr)
         self.critic_tx = optax.adam(cfg.critic_lr)
+        self.alpha_tx = optax.adam(cfg.alpha_lr)
+        self.target_entropy = -float(action_dim)
 
     def init(self, rng: jax.Array) -> SACState:
         k1, k2 = jax.random.split(rng)
@@ -52,12 +56,15 @@ class SAC:
         act = jnp.zeros((1, self.action_dim))
         actor_params = self.actor.init(k1, obs)
         critic_params = self.critic.init(k2, obs, act)
+        log_alpha = jnp.asarray(jnp.log(self.cfg.alpha))
         return SACState(
             actor_params=actor_params,
             critic_params=critic_params,
             target_critic_params=jax.tree.map(lambda x: x, critic_params),
             actor_opt=self.actor_tx.init(actor_params),
-            critic_opt=self.critic_tx.init(critic_params))
+            critic_opt=self.critic_tx.init(critic_params),
+            log_alpha=log_alpha,
+            alpha_opt=self.alpha_tx.init(log_alpha))
 
     # -- inference ------------------------------------------------------------
 
@@ -91,13 +98,14 @@ class SAC:
         """
         cfg = self.cfg
         k_next, k_pi = jax.random.split(rng)
+        alpha = jnp.exp(state.log_alpha) if cfg.auto_alpha else cfg.alpha
 
         # critic update
         next_act, next_logp = self.sample(state.actor_params,
                                           batch["next_obs"], k_next)
         q1_t, q2_t = self.critic.apply(state.target_critic_params,
                                        batch["next_obs"], next_act)
-        target_q = jnp.minimum(q1_t, q2_t) - cfg.alpha * next_logp
+        target_q = jnp.minimum(q1_t, q2_t) - alpha * next_logp
         target_q = batch["rew"] + cfg.gamma * batch["terminal"] * target_q
         target_q = jax.lax.stop_gradient(target_q)
 
@@ -118,13 +126,27 @@ class SAC:
             act, logp = self.sample(params, batch["obs"], k_pi)
             q1, q2 = self.critic.apply(critic_params, batch["obs"], act)
             min_q = jnp.minimum(q1, q2)
-            return jnp.mean(cfg.alpha * logp - min_q)
+            return jnp.mean(alpha * logp - min_q)
 
         actor_loss, actor_grads = jax.value_and_grad(actor_loss_fn)(
             state.actor_params)
         a_updates, actor_opt = self.actor_tx.update(
             actor_grads, state.actor_opt)
         actor_params = optax.apply_updates(state.actor_params, a_updates)
+
+        # temperature update (auto-alpha; SAC v2)
+        log_alpha, alpha_opt = state.log_alpha, state.alpha_opt
+        if cfg.auto_alpha:
+            _, logp_now = self.sample(actor_params, batch["obs"], k_pi)
+            logp_now = jax.lax.stop_gradient(logp_now)
+
+            def alpha_loss_fn(la):
+                return -jnp.mean(jnp.exp(la) *
+                                 (logp_now + self.target_entropy))
+
+            _, a_grad = jax.value_and_grad(alpha_loss_fn)(log_alpha)
+            upd, alpha_opt = self.alpha_tx.update(a_grad, alpha_opt)
+            log_alpha = optax.apply_updates(log_alpha, upd)
 
         # Polyak sync (sac.py:112-118)
         tau = cfg.tau
@@ -135,6 +157,7 @@ class SAC:
         new_state = SACState(
             actor_params=actor_params, critic_params=critic_params,
             target_critic_params=target_params,
-            actor_opt=actor_opt, critic_opt=critic_opt)
+            actor_opt=actor_opt, critic_opt=critic_opt,
+            log_alpha=log_alpha, alpha_opt=alpha_opt)
         return new_state, {"critic_loss": critic_loss,
                            "actor_loss": actor_loss}

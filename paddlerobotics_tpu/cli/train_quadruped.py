@@ -111,7 +111,8 @@ def config_from_args(args) -> QuadrupedConfig:
                           act_mode=args.act_mode, act_bound=args.act_bound,
                           num_envs=args.num_envs, seed=args.seed,
                           enable_action_filter=bool(
-                              args.enable_action_filter)),
+                              args.enable_action_filter),
+                          x_noise=bool(args.x_noise)),
     )
 
 

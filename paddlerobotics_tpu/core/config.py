@@ -212,6 +212,10 @@ class SACConfig:
     gamma: float = 0.99
     tau: float = 0.005
     alpha: float = 0.2
+    # auto-tune alpha toward -action_dim target entropy (off = the
+    # reference's fixed alpha, sac.py:45)
+    auto_alpha: bool = False
+    alpha_lr: float = 3e-4
     actor_lr: float = 3e-4
     critic_lr: float = 3e-4
     batch_size: int = 256
@@ -255,6 +259,7 @@ class TrainConfig:
     num_envs: int = 4096
     seed: int = 0
     enable_action_filter: bool = False  # train.py --enable_action_filter
+    x_noise: bool = False               # train.py --x_noise reset jitter
 
 
 @dataclasses.dataclass(frozen=True)

@@ -175,6 +175,13 @@ class BatchedQuadrupedEnv:
             else:
                 dyn = BDynParams.default(self.B)
         rb = self._fresh_robot()
+        if self.cfg.train.x_noise:
+            # reset-position jitter (train.py --x_noise; reset kwarg
+            # x_noise at train.py:131)
+            kx = jax.random.fold_in(rng, jnp.asarray(29, jnp.uint32))
+            dxy = 0.02 * jax.random.normal(kx, (2, self.B))
+            pos = rb.s.pos.at[0].add(dxy[0]).at[1].add(dxy[1])
+            rb = rb.replace(s=rb.s.replace(pos=pos))
         state = BEnvState(
             robot=rb, dyn=dyn, etg_w=etg_w, etg_b=etg_b,
             step_idx=jnp.zeros((self.B,), jnp.int32), rng=rng,

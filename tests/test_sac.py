@@ -97,3 +97,34 @@ def test_replay_ring_wrap():
                                obs, jnp.ones(6))
     assert int(buf.size) == 16
     assert int(buf.ptr) == (5 * 6) % 16
+
+
+def test_auto_alpha():
+    from paddlerobotics_tpu.core.config import SACConfig
+
+    s = SAC(obs_dim=8, action_dim=3, cfg=SACConfig(auto_alpha=True))
+    state = s.init(jax.random.key(0))
+    la0 = float(state.log_alpha)
+    batch = {
+        "obs": jax.random.normal(jax.random.key(1), (64, 8)),
+        "act": jnp.tanh(jax.random.normal(jax.random.key(2), (64, 3))),
+        "rew": jnp.ones((64, 1)),
+        "next_obs": jax.random.normal(jax.random.key(3), (64, 8)),
+        "terminal": jnp.ones((64, 1)),
+    }
+    for i in range(10):
+        state, info = s.learn(state, batch, jax.random.key(i))
+    assert float(state.log_alpha) != la0
+    assert np.isfinite(float(state.log_alpha))
+
+
+def test_x_noise_reset():
+    from paddlerobotics_tpu.core.config import QuadrupedConfig, TrainConfig
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+
+    cfg = QuadrupedConfig(train=TrainConfig(x_noise=True))
+    env = BatchedQuadrupedEnv(cfg, num_envs=8)
+    state, obs = env.reset(jax.random.key(0))
+    xy = np.asarray(state.robot.s.pos[:2])
+    assert xy.std() > 1e-3   # jittered
+    assert np.abs(xy).max() < 0.1
