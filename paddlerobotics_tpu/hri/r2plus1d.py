@@ -56,19 +56,26 @@ class R2Plus1DBlock(nn.Module):
         return nn.relu(h + x)
 
 
+R2PLUS1D18_BLOCKS = ((64, (1, 1, 1)), (64, (1, 1, 1)),
+                     (128, (2, 2, 2)), (128, (1, 1, 1)),
+                     (256, (2, 2, 2)), (256, (1, 1, 1)),
+                     (512, (2, 2, 2)), (512, (1, 1, 1)))
+
+
 class R2Plus1D18(nn.Module):
-    """18-layer R(2+1)D; input (B,T,H,W,3) → class logits."""
+    """18-layer R(2+1)D; input (B,T,H,W,3) → class logits.
+
+    `blocks` defaults to the r2plus1d_18 stage plan; smaller plans give
+    CPU-testable variants with the identical structure."""
 
     num_classes: int = 2
+    blocks: tuple = R2PLUS1D18_BLOCKS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = Conv2Plus1D(64, 45, (1, 2, 2))(x, train)
         h = nn.relu(nn.BatchNorm(use_running_average=not train)(h))
-        for feats, stride in ((64, (1, 1, 1)), (64, (1, 1, 1)),
-                              (128, (2, 2, 2)), (128, (1, 1, 1)),
-                              (256, (2, 2, 2)), (256, (1, 1, 1)),
-                              (512, (2, 2, 2)), (512, (1, 1, 1))):
-            h = R2Plus1DBlock(feats, stride)(h, train)
+        for feats, stride in self.blocks:
+            h = R2Plus1DBlock(feats, tuple(stride))(h, train)
         h = jnp.mean(h, axis=(1, 2, 3))
         return nn.Dense(self.num_classes)(h)

@@ -10,9 +10,11 @@ tentative→confirmed→deleted lifecycle.
 TPU-native deviations (documented):
 - tracks live in a fixed-size slot array (MAX_TRACKS) so the whole
   update jits and vmaps over camera streams;
-- assignment is greedy minimum-cost instead of Hungarian — at the
-  reference's scale (≤20 detections) the matchings almost always agree,
-  and greedy is branch-free.
+- assignment uses the exact Hungarian solve (ops/lap.py, validated
+  against scipy) inside a fixed-depth `lax.fori_loop` matching cascade —
+  the same per-age-level structure as the reference's matching_cascade
+  (utils.py:120-175, tracker.py:314-345). `greedy_match` remains as the
+  cheap approximate alternative.
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from paddlerobotics_tpu.ops import lap
 
 MAX_TRACKS = 32
 FEATURE_DIM = 128
@@ -197,23 +201,45 @@ def tracker_update(state: TrackerState,
         state.mean, state.cov)                             # (T,D)
     cost1 = jnp.where(gate > CHI2_95_DOF4, INF, cos_cost)
     confirmed = state.status == CONFIRMED
-    assign1 = greedy_match(cost1, max_cosine_distance,
-                           confirmed.astype(jnp.float32),
-                           det_valid.astype(jnp.float32))
 
-    # additive scatter: duplicate index 0 writes from unmatched tracks
-    # must not clobber a real match at detection 0
-    matched_det1 = jnp.zeros(D).at[jnp.maximum(assign1, 0)].add(
-        (assign1 >= 0).astype(jnp.float32)) > 0
+    # matching cascade (utils.py matching_cascade:120-175): one exact
+    # Hungarian solve per track age level, freshest tracks first, each
+    # level seeing only the still-unmatched detections
+    def cascade_level(level, carry):
+        assign, det_matched = carry
+        rows = confirmed & (state.time_since_update == 1 + level) & \
+            (assign < 0)
+        cols = det_valid & ~det_matched
 
-    # 2) IoU matching for remaining tracks (tentative + unmatched confirmed
-    #    with small time_since_update)
+        def run(_):
+            return lap.min_cost_match(cost1, max_cosine_distance,
+                                      rows.astype(jnp.float32),
+                                      cols.astype(jnp.float32))
+
+        a = jax.lax.cond(jnp.any(rows) & jnp.any(cols), run,
+                         lambda _: jnp.full(cost1.shape[0], -1, jnp.int32),
+                         None)
+        assign = jnp.where(a >= 0, a, assign)
+        det_matched = det_matched | (
+            jnp.zeros(D).at[jnp.maximum(a, 0)].add(
+                (a >= 0).astype(jnp.float32)) > 0)
+        return assign, det_matched
+
+    assign1 = -jnp.ones(MAX_TRACKS, jnp.int32)
+    assign1, matched_det1 = jax.lax.fori_loop(
+        0, max_age, cascade_level,
+        (assign1, jnp.zeros(D, bool)))
+
+    # 2) IoU matching for remaining tracks: tentative tracks plus
+    #    confirmed tracks unmatched for exactly one frame
+    #    (tracker.py:330-340)
     track_boxes = cah_to_xyxy(state.mean[:, :4])
     iou_cost = 1.0 - _iou(track_boxes, boxes)
-    rows2 = ((state.status > EMPTY) & (assign1 < 0) &
-             (state.time_since_update <= 1)).astype(jnp.float32)
+    rows2 = (((state.status == TENTATIVE) |
+              (confirmed & (state.time_since_update == 1))) &
+             (assign1 < 0)).astype(jnp.float32)
     cols2 = (det_valid & ~matched_det1).astype(jnp.float32)
-    assign2 = greedy_match(iou_cost, max_iou_distance, rows2, cols2)
+    assign2 = lap.min_cost_match(iou_cost, max_iou_distance, rows2, cols2)
 
     assign = jnp.where(assign1 >= 0, assign1, assign2)
 

@@ -7,6 +7,7 @@
 #pragma once
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <deque>
 #include <functional>
@@ -50,6 +51,21 @@ class BoundedQueue {
   std::optional<T> Pop() {
     std::unique_lock<std::mutex> lk(mu_);
     not_empty_.wait(lk, [&] { return !q_.empty() || closed_; });
+    if (q_.empty()) return std::nullopt;
+    T item = std::move(q_.front());
+    q_.pop_front();
+    not_full_.notify_one();
+    return item;
+  }
+
+  // Timed pop for pollers that must also notice peer shutdown
+  // (stream_server.cpp WriteLoop).
+  template <typename Rep, typename Period>
+  std::optional<T> PopFor(std::chrono::duration<Rep, Period> d) {
+    std::unique_lock<std::mutex> lk(mu_);
+    if (!not_empty_.wait_for(lk, d,
+                             [&] { return !q_.empty() || closed_; }))
+      return std::nullopt;
     if (q_.empty()) return std::nullopt;
     T item = std::move(q_.front());
     q_.pop_front();

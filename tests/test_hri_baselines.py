@@ -1,0 +1,162 @@
+"""Round-2 HRI depth: video augmentation, salutation dataset,
+R(2+1)D train/eval/program stack, and full-negative mining feeding the
+attention-controller loader (VERDICT items 8 and 9)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlerobotics_tpu.hri.augment import (SALUTATION_TREE,
+                                            SalutationDataset,
+                                            VideoAugmentor)
+from paddlerobotics_tpu.hri.r2plus1d import R2Plus1D18
+from paddlerobotics_tpu.hri import r2plus1d_train as r2t
+
+
+# -- VideoAugmentor ------------------------------------------------------------
+
+def test_video_augmentor_intensity():
+    clip = 0.5 * np.ones((4, 8, 8, 3), np.float32)
+    # always-on multipliers compose deterministically
+    aug = VideoAugmentor(intensity_mul_probs=[1.0, 1.0],
+                         intensity_mul_values=[1.1, 0.9], seed=0)
+    out = aug(clip)
+    np.testing.assert_allclose(out, 0.5 * 1.1 * 0.9, atol=1e-6)
+    # clipped to [0,1]
+    bright = VideoAugmentor([1.0], [3.0])(clip)
+    assert bright.max() <= 1.0
+    # probability 0 → identity
+    none = VideoAugmentor([0.0, 0.0], [1.1, 0.9])(clip)
+    np.testing.assert_array_equal(none, clip)
+    # frequency roughly matches prob
+    aug = VideoAugmentor([0.3], [1.1], seed=1)
+    changed = sum(float(aug(clip).max()) > 0.5 for _ in range(300))
+    assert 50 < changed < 130
+
+
+# -- SalutationDataset ---------------------------------------------------------
+
+def test_salutation_dataset(tmp_path):
+    annos = {
+        "vidA_01_x.jsonl": [
+            {"ID": 1, "Salutation": "man"},
+            {"ID": 2, "Salutation": "null"},        # dropped
+            {"ID": 3, "Salutation": "young_girl"},
+        ],
+        "vidB_01_x.jsonl": [{"ID": 1, "Salutation": "aunt"}],
+        "vidC_01_x.jsonl": [{"ID": 4, "Salutation": "uncle"}],
+        "vidD_01_x.jsonl": [{"ID": 5, "Salutation": "woman"}],
+        "vidE_01_x.jsonl": [{"ID": 6, "Salutation": "young_boy"}],
+    }
+    for fname, rows in annos.items():
+        with open(tmp_path / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    ds = SalutationDataset(str(tmp_path), test_percentage=0.2, seed=0)
+    assert len(ds.annos) == 6            # null dropped
+    # split is BY VIDEO: no video appears in both
+    train_vids = {a.video for a in ds.train}
+    test_vids = {a.video for a in ds.test}
+    assert not (train_vids & test_vids)
+    assert len(test_vids) == 1
+    # decision-tree targets (data.py:181-194)
+    by_label = {a.salutation: a.tree_targets for a in ds.annos}
+    assert by_label["man"] == ("100", 0, -1, -1)
+    assert by_label["young_girl"] == ("101", 1, -1, 0)
+    assert by_label["uncle"] == ("110", 0, 1, -1)
+    # build with a crop hook; None skips
+    built = ds.build(lambda s: None if s.salutation == "uncle"
+                     else np.ones(4))
+    total = len(built["train"]) + len(built["test"])
+    assert total == 5
+
+
+# -- R(2+1)D stack -------------------------------------------------------------
+
+def _synthetic_loader(T=8, hw=32):
+    """Clips whose mean intensity encodes the class."""
+    def load(video, t):
+        label = int(video.split("_")[-1])
+        rng = np.random.RandomState((hash(video) + t) % 2**31)
+        base = 0.15 + 0.3 * label
+        return np.clip(base + 0.05 * rng.randn(T, hw, hw, 3), 0, 1)
+    return load
+
+
+def test_r2plus1d_trains_on_synthetic_clips():
+    annos = [r2t.ClipAnno(f"pos_{i % 2 + 1}", t, wae_id=i % 2 + 1)
+             for i, t in enumerate(range(0, 4000, 250))]
+    negs = [f"neg_0"] * 8
+    data = r2t.ClipDataset(annos, negs, _synthetic_loader(hw=32),
+                           num_classes=3, group_by="WAE_id",
+                           test_frac=0.25, seed=0)
+    tiny = ((32, (1, 1, 1)), (64, (2, 2, 2)))   # CPU-sized stage plan
+    tr = r2t.R2Plus1DTrainer(num_classes=3, lr=5e-4, input_hw=32,
+                             blocks=tiny)
+    # enough steps for BatchNorm running stats (momentum .99) to settle
+    hist = tr.fit(data, epochs=25, batch_size=4)
+    assert np.isfinite(hist["loss"])
+    res = tr.evaluate(data, batch_size=4)
+    assert res["accuracy"] >= 0.6, res["accuracy"]
+    # precision/recall sweep over trigger threshold
+    rows = r2t.precision_recall_sweep(res["probs"], res["labels"])
+    assert len(rows) == 19
+    assert all(0 <= r["precision"] <= 1 and 0 <= r["recall"] <= 1
+               for r in rows)
+    # recall is monotonically non-increasing in the threshold
+    recalls = [r["recall"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
+def test_r2plus1d_inference_program():
+    model = R2Plus1D18(num_classes=5, blocks=((32, (1, 1, 1)),))
+    clip = jnp.zeros((2, 4, 32, 32, 3))
+    variables = model.init(jax.random.key(0), clip, True)
+    infer = r2t.make_inference_fn(model, null_act_idx=0)
+    probs, sample = infer(variables, clip, 0.7, 3, jax.random.key(1))
+    assert probs.shape == (2, 5)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+    # sampled action is never the null action (program.py:44-50)
+    assert np.all(np.asarray(sample) != 0)
+
+
+# -- full-negative mining → attention loader ----------------------------------
+
+def test_full_negative_mining_feeds_attention_training():
+    """End-to-end: mined negatives enter the window sampler, the loader
+    assembles controller feeds, and negative windows carry has_act=0."""
+    from paddlerobotics_tpu.hri.data import (AnnotatedMoment,
+                                             PrefetchLoader, WindowSampler,
+                                             assemble_training_sample)
+
+    pos = [AnnotatedMoment("vid_pos", 40 + i, act_id=3) for i in range(5)]
+    sampler = WindowSampler(pos, num_frames=4, neg_ratio=1.0, seed=0)
+    mined = [AnnotatedMoment(f"neg_clip_{i}", 10, act_id=0)
+             for i in range(5)]
+    sampler.add_negatives(mined)
+
+    F, K, D = 4, 3, 562
+
+    def tokenize(batch):
+        feeds = []
+        for video, frames, act_id, positive in batch:
+            tokens = np.random.RandomState(len(video)).rand(F, K, D)
+            valid = np.ones((F, K))
+            feeds.append(assemble_training_sample(
+                tokens, valid, act_id, positive, target_token=0))
+        return {k: np.stack([f[k] for f in feeds]) for k in feeds[0]}
+
+    loader = PrefetchLoader(sampler.sample, tokenize, batch_size=8)
+    batch = next(iter(loader))
+    loader.close()
+    assert batch["visual_tokens"].shape == (8, F * K, D)
+    has_act = batch["has_act"][:, -1]
+    # with neg_ratio 1.0 both classes appear in a batch of 8 w.h.p.
+    assert 0 < has_act.sum() < 8
+    # negative windows carry act_id 0 everywhere
+    neg_rows = has_act == 0
+    assert np.all(batch["act_ids"][neg_rows] == 0)
