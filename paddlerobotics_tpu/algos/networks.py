@@ -52,13 +52,23 @@ class Critic(nn.Module):
 class GRUActor(nn.Module):
     """Recurrent actor for sensor_mode RNN='GRU' (EnvWrapper.py:216-217):
     consumes a (T, obs) history stack, encodes with a GRU, then the same
-    mean/log-std heads."""
+    mean/log-std heads.
+
+    When `seq_len`/`frame_dim` are set, a flat (..., T·D) stacked obs (the
+    ObsHistoryWrapper 'stack' layout that the replay buffer stores) is
+    reshaped to the (..., T, D) sequence first — so the GRU policy slots
+    into the standard SAC machinery with no buffer changes."""
 
     action_dim: int
     hidden: int = 256
+    seq_len: int = 0
+    frame_dim: int = 0
 
     @nn.compact
     def __call__(self, obs_seq: jnp.ndarray):
+        if self.seq_len and obs_seq.shape[-1] == self.seq_len * self.frame_dim:
+            obs_seq = obs_seq.reshape(
+                obs_seq.shape[:-1] + (self.seq_len, self.frame_dim))
         # obs_seq (..., T, obs_dim)
         gru = nn.GRUCell(features=self.hidden)
         carry = jnp.zeros(obs_seq[..., 0, :].shape[:-1] + (self.hidden,),

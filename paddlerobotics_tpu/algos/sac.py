@@ -39,11 +39,13 @@ class SAC:
     """Holds static config + module defs; all methods pure."""
 
     def __init__(self, obs_dim: int, action_dim: int,
-                 cfg: SACConfig = SACConfig()):
+                 cfg: SACConfig = SACConfig(), actor=None):
+        """`actor` overrides the default MLP policy (e.g. GRUActor for
+        sensor_mode RNN='GRU'); it must map obs → (mean, log_std)."""
         self.cfg = cfg
         self.obs_dim = obs_dim
         self.action_dim = action_dim
-        self.actor = Actor(action_dim, hidden=cfg.hidden_dim)
+        self.actor = actor or Actor(action_dim, hidden=cfg.hidden_dim)
         self.critic = Critic(hidden=cfg.hidden_dim)
         self.actor_tx = optax.adam(cfg.actor_lr)
         self.critic_tx = optax.adam(cfg.critic_lr)

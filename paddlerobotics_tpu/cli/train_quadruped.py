@@ -28,7 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random_dynamic", type=int, default=0)
     p.add_argument("--random_force", type=int, default=0)
     p.add_argument("--task_mode", type=str, default="stairstair")
-    p.add_argument("--step_y", type=float, default=0.05)
+    p.add_argument("--step_y", type=float, default=0.09,
+                   help="lateral stance offset; 0.05 = the reference's "
+                        "exact golden stance, 0.09 (default) = +4cm, "
+                        "needed for stair stability under penalty "
+                        "contact (docs/reward_calibration.md)")
     p.add_argument("--load", type=str, default="")
     p.add_argument("--eval", type=int, default=0)
     p.add_argument("--suffix", type=str, default="exp0")
@@ -58,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sensor_ETG", type=int, default=1)
     p.add_argument("--sensor_ETG_obs", type=int, default=0)
     p.add_argument("--sensor_footpose", type=int, default=0)
+    p.add_argument("--sensor_dynamic", type=int, default=0)
+    p.add_argument("--sensor_exforce", type=int, default=0)
     p.add_argument("--sensor_noise", type=int, default=0)
     p.add_argument("--timesteps", type=int, default=5)
     p.add_argument("--timeinterval", type=int, default=1)
@@ -68,10 +74,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--x_noise", type=int, default=0)
     # TPU-native additions
     p.add_argument("--num_envs", type=int, default=4096)
+    p.add_argument("--updates_per_step", type=int, default=1,
+                   help="SGD updates per batched env step (data:update "
+                        "ratio study; reference does 1 per single-env step)")
     p.add_argument("--chunk_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=1,
                    help="VMEM physics megakernel (TPU only; ~4x)")
+    p.add_argument("--terrain_start", type=float, default=0.5,
+                   help="flat run-in before the terrain feature (m)")
+    p.add_argument("--step_height", type=float, default=0.08)
+    p.add_argument("--step_width", type=float, default=0.3)
+    p.add_argument("--slope", type=float, default=0.2)
     p.add_argument("--ETG_path", type=str, default="None",
                    help="npz with pretrained ETG 'param' (train.py:281)")
     return p
@@ -89,6 +103,8 @@ def config_from_args(args) -> QuadrupedConfig:
             imu=args.sensor_imu, contact=bool(args.sensor_contact),
             etg=bool(args.sensor_ETG), etg_obs=bool(args.sensor_ETG_obs),
             footpose=bool(args.sensor_footpose),
+            dynamic_vec=bool(args.sensor_dynamic),
+            force_vec=bool(args.sensor_exforce),
             noise=bool(args.sensor_noise), normal=bool(args.normal),
             rnn_time_steps=args.timesteps if args.RNN_mode != "None" else 0,
             rnn_time_interval=args.timeinterval, rnn_mode=args.RNN_mode),
@@ -103,7 +119,10 @@ def config_from_args(args) -> QuadrupedConfig:
         etg=ETGConfig(T=args.ETG_T, T2=args.ETG_T2, H=args.ETG_H,
                       steplen=args.steplen, footheight=args.footheight,
                       step_y=args.step_y),
-        task=TaskConfig(task_mode=args.task_mode),
+        task=TaskConfig(task_mode=args.task_mode,
+                        terrain_start=args.terrain_start,
+                        step_height=args.step_height,
+                        step_width=args.step_width, slope=args.slope),
         es=ESConfig(popsize=args.popsize if args.ES else 0,
                     sigma_init=args.sigma, sigma_decay=args.sigma_decay,
                     es_rpm=bool(args.es_rpm)),
@@ -124,14 +143,28 @@ def main(argv=None):
     from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
 
     outdir = os.path.join(args.outdir, args.suffix)
-    trainer = ETGRLTrainer(cfg, num_envs=args.num_envs, outdir=outdir)
+    trainer = ETGRLTrainer(cfg, num_envs=args.num_envs, outdir=outdir,
+                           updates_per_step=args.updates_per_step)
     if args.load:
         trainer.restore(args.load)
     if args.eval:
+        # Evaluate a TRAINED checkpoint (reference restores the agent
+        # before eval, train.py:333-343) — never a fresh random policy.
+        if not args.load:
+            raise SystemExit("--eval requires --load <checkpoint dir>")
         import jax
-        w, b = trainer.fit_etg(__import__("jax.numpy", fromlist=["zeros"]
-                                          ).zeros(12))
+        import jax.numpy as jnp
+
+        from paddlerobotics_tpu.train import checkpoints
+
         sac_state = trainer.sac.init(jax.random.key(0))
+        restored = checkpoints.restore(args.load, {
+            "sac": sac_state._asdict(),
+            "etg_w": jnp.zeros((3, cfg.etg.H)),
+            "etg_b": jnp.zeros(3),
+            "etg_param": jnp.zeros(cfg.es.num_params)})
+        sac_state = type(sac_state)(**restored["sac"])
+        w, b = trainer.fit_etg(jnp.asarray(restored["etg_param"]))
         ret, steps, infos = trainer.evaluate(sac_state.actor_params, w, b,
                                              cfg.train.eval_episode_len)
         print(f"eval reward {float(ret):.2f} steps {float(steps):.1f}")

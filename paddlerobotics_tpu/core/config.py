@@ -69,6 +69,8 @@ class SensorConfig:
             d += 20
         if self.footpose:
             d += 12
+        if self.dynamic_vec:
+            d += 48
         if self.force_vec:
             d += 3
         return d
@@ -145,7 +147,12 @@ class SimConfig:
     contact_stiffness: float = 4000.0
     contact_damping: float = 60.0
     friction_coef: float = 0.6
-    friction_vel_scale: float = 0.25   # tanh regularization vel scale (m/s)
+    # Friction regularization velocity scale (m/s): the Coulomb force
+    # ramps in over ~this much slip. 0.25 (round 1) lets a narrow-stance
+    # robot skate sideways where PyBullet's stiction would hold — 0.08
+    # restores enough lateral stiction for the reference's (golden-trace)
+    # stance to climb stairs, while staying stable at the 2.6 ms substep.
+    friction_vel_scale: float = 0.08
     # PD motor defaults (a1.py:75-80: kp 100, kd [1,2,2]).
     motor_kp: float = 100.0
     motor_kd: Tuple[float, float, float] = (1.0, 2.0, 2.0)
@@ -163,6 +170,18 @@ class SimConfig:
     # Velocity clamps for numerical robustness under large penalty forces.
     max_joint_velocity: float = 100.0
     max_base_velocity: float = 50.0
+    # On-rack debug mode (minitaur.py:106, 418): weld the trunk in place,
+    # let the legs articulate freely.
+    on_rack: bool = False
+    # Motor overheat protection (minitaur.ApplyAction:894-901 +
+    # constants:43-44): a motor whose |τ| exceeds the shutdown torque for
+    # longer than the shutdown time is latched off (τ=0 thereafter).
+    # Checked once per CONTROL step here (documented approximation; the
+    # reference checks every inner sim step). The 2.45 N·m default is the
+    # reference's minitaur value — set ~0.9×TORQUE_LIMIT for A1-scale use.
+    motor_overheat_protection: bool = False
+    overheat_shutdown_torque: float = 2.45
+    overheat_shutdown_time: float = 1.0
     # Pallas megakernel for the control step (TPU only): all substeps of
     # a 1024-env block run in VMEM — ~2.4x the fused-XLA SoA path.
     use_pallas: bool = False
@@ -188,8 +207,14 @@ class ETGConfig:
     steplen: float = 0.05
     footheight: float = 0.1
     penetration: float = 0.01
-    # Lateral foot offset per step (train.py --step_y).
-    step_y: float = 0.05
+    # Lateral foot offset (train.py --step_y). step_y = 0.05 reproduces
+    # the reference's EXACT golden-trace stance (etg/model.py
+    # STANCE_OFFSET_Y); our default is 0.09 (+4 cm wider) — a documented
+    # deviation: the reference's narrow stance pitches over at the first
+    # stair riser under our penalty-contact physics (PyBullet's LCP
+    # stiction holds it), while +4 cm climbs stairs under the default
+    # reward weights (docs/reward_calibration.md).
+    step_y: float = 0.09
 
 
 @dataclasses.dataclass(frozen=True)
@@ -202,7 +227,8 @@ class TaskConfig:
     step_height: float = 0.08   # stairs rise  (train.py STEP_HEIGHT grid)
     step_width: float = 0.3     # stairs run   (train.py STEP_WIDTH grid)
     slope: float = 0.2          # slope gradient (train.py SLOPE grid)
-    terrain_start: float = 1.0  # flat run-in before the feature starts (m)
+    terrain_start: float = 0.5  # flat run-in before the feature starts (m)
+                                # (0.5 m = the validated stairs recipe)
 
 
 @dataclasses.dataclass(frozen=True)

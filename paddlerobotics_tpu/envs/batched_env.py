@@ -27,6 +27,7 @@ import numpy as np
 
 from paddlerobotics_tpu.core.config import QuadrupedConfig
 from paddlerobotics_tpu.envs import randomize, sensors
+from paddlerobotics_tpu.envs import reward as reward_mod
 from paddlerobotics_tpu.etg import fit as etg_fit
 from paddlerobotics_tpu.etg import model as etg_model
 from paddlerobotics_tpu.etg import oscillator
@@ -48,6 +49,9 @@ class BEnvState:
     last_x: jnp.ndarray     # (B,) previous base x
     done: jnp.ndarray       # (B,) bool
     filter_z: jnp.ndarray   # (2,12,B) Butterworth carry (action filter)
+    push_salt: jnp.ndarray  # () int32 seed for burst-indexed random pushes
+    oh_counter: jnp.ndarray  # (12,B) consecutive over-torque control steps
+    motor_on: jnp.ndarray    # (12,B) bool, overheat latch (False = off)
 
 
 def _soa_ik(fx, fy, fz):
@@ -81,13 +85,36 @@ class BatchedQuadrupedEnv:
         # RBF centers as (H,1) constants for SoA phase features
         self._centers = oscillator.centers(config.etg).astype(np.float32)
         mode = config.train.act_mode
+        self.act_offset = np.zeros(12, np.float32)
         if mode == "pose":
             self.act_bound = np.array([0.1, 0.7, 0.7] * 4, np.float32)
         elif mode == "torque":
             self.act_bound = np.array([10.0] * 12, np.float32)
+        elif mode == "hybrid":
+            # Full HYBRID motor interface (laikago_motor.py:33-37): per
+            # motor (pos, kp, q̇*, kd, τ_ff). Policy actions in [-1,1]⁶⁰
+            # map to  offset + bound·a : position residual ±act_bound
+            # around init+ETG (as in traj mode), gains centered on the A1
+            # defaults, velocity target ±2 rad/s, feedforward ±5 N·m.
+            if config.sim.use_pallas:
+                raise ValueError("act_mode='hybrid' is not supported by "
+                                 "the Pallas megakernel; set use_pallas="
+                                 "False")
+            kp0 = np.asarray(a1.MOTOR_KP, np.float32)
+            kd0 = np.asarray(a1.MOTOR_KD, np.float32)
+            self.act_bound = np.stack([
+                np.full(12, config.train.act_bound, np.float32),
+                0.5 * kp0, np.full(12, 2.0, np.float32),
+                0.5 * kd0, np.full(12, 5.0, np.float32)], axis=1
+            ).reshape(60)
+            self.act_offset = np.stack([
+                np.zeros(12, np.float32), kp0,
+                np.zeros(12, np.float32), kd0,
+                np.zeros(12, np.float32)], axis=1).reshape(60)
         else:
             self.act_bound = np.full(12, config.train.act_bound, np.float32)
         self.torque_mode = mode == "torque"
+        self.hybrid_mode = mode == "hybrid"
         h0 = float(np.asarray(self.h_fn(jnp.zeros(()), jnp.zeros(()))))
         self._spawn_height = 0.27 + h0
         from paddlerobotics_tpu.envs import action_filter as af
@@ -95,9 +122,12 @@ class BatchedQuadrupedEnv:
         self._af = af
         self._fb, self._fa = af.butter_lowpass_coeffs(
             1.0 / config.sim.control_dt)
-        # lateral step_y offsets per leg
-        self._lat = (config.etg.step_y *
-                     np.asarray(etg_model.LATERAL_SIGN, np.float32))
+        # per-leg stance offsets (recovered from the reference's golden
+        # gait — see etg/model.py STANCE_OFFSET_*), step_y-parameterized
+        self._lat = (etg_model.STANCE_OFFSET_Y +
+                     (config.etg.step_y - etg_model.REFERENCE_STEP_Y) *
+                     np.asarray(etg_model.LATERAL_SIGN)).astype(np.float32)
+        self._stx = etg_model.STANCE_OFFSET_X.astype(np.float32)
 
     @property
     def obs_dim(self) -> int:
@@ -105,7 +135,7 @@ class BatchedQuadrupedEnv:
 
     @property
     def action_dim(self) -> int:
-        return 12
+        return 60 if self.hybrid_mode else 12
 
     def default_etg(self):
         """Population-shared default (w, b) broadcast to (3,H,B)/(3,B)."""
@@ -137,7 +167,8 @@ class BatchedQuadrupedEnv:
         d_b = jnp.einsum("xhb,hb->xb", etg_w, v_b) + etg_b
         group = jnp.asarray(etg_model.LEG_PHASE_GROUP)       # (4,)
         sel = (group[:, None] == 0)
-        dx = jnp.where(sel, d_a[0][None, :], d_b[0][None, :])   # (4,B)
+        dx = jnp.where(sel, d_a[0][None, :], d_b[0][None, :]) + \
+            jnp.asarray(self._stx)[:, None]                     # (4,B)
         dy = jnp.where(sel, d_a[1][None, :], d_b[1][None, :]) + \
             jnp.asarray(self._lat)[:, None]
         dz = jnp.where(sel, d_a[2][None, :], d_b[2][None, :])
@@ -186,7 +217,12 @@ class BatchedQuadrupedEnv:
             robot=rb, dyn=dyn, etg_w=etg_w, etg_b=etg_b,
             step_idx=jnp.zeros((self.B,), jnp.int32), rng=rng,
             last_x=rb.s.pos[0], done=jnp.zeros((self.B,), bool),
-            filter_z=self._af.init_filter_state(self._fb, self._fa, rb.s.q))
+            filter_z=self._af.init_filter_state(self._fb, self._fa, rb.s.q),
+            push_salt=jax.random.randint(
+                jax.random.fold_in(rng, jnp.asarray(5, jnp.uint32)),
+                (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
+            oh_counter=jnp.zeros((12, self.B), F32),
+            motor_on=jnp.ones((12, self.B), bool))
         etg_act, _, _, v_a = self._etg_residual(etg_w, etg_b, state.step_idx)
         return state, self._observe(state, etg_act, v_a)
 
@@ -210,20 +246,35 @@ class BatchedQuadrupedEnv:
         q_obs, qd_obs = sbatch.delayed_obs(
             rb, state.dyn.control_latency, self.cfg.sim.control_dt)
 
+        vel_s = jnp.stack(vel_w)
+        rpy = jnp.stack([roll, pitch, yaw])
+        drpy = s.w
+        if cfg.noise:
+            # Per-channel noise on RAW values before normalization —
+            # identical stds to the per-env path (sensors.NOISE_STD,
+            # minitaur._AddSensorNoise semantics).
+            k = jax.random.fold_in(state.rng,
+                                   jnp.sum(state.step_idx) % 65536)
+            ks = jax.random.split(k, 5)
+            nz = lambda kk, x, s_: x + s_ * jax.random.normal(kk, x.shape)
+            vel_s = nz(ks[0], vel_s, sensors.NOISE_STD["dis"])
+            rpy = nz(ks[1], rpy, sensors.NOISE_STD["rpy"])
+            drpy = nz(ks[2], drpy, sensors.NOISE_STD["drpy"])
+            q_obs = nz(ks[3], q_obs, sensors.NOISE_STD["q"])
+            qd_obs = nz(ks[4], qd_obs, sensors.NOISE_STD["qd"])
+
         parts = []  # each (k, B)
         if cfg.dis:
-            parts.append(jnp.stack(vel_w))
+            parts.append(vel_s)
         if cfg.contact:
             parts.append(rb.contact.foot_contact.astype(F32))
         if cfg.imu == 1:
-            rpy = jnp.stack([roll, pitch, yaw])
-            drpy = s.w
             if cfg.normal:
                 parts.append(jnp.concatenate([rpy / 0.1, drpy / 0.5]))
             else:
                 parts.append(jnp.concatenate([rpy, drpy]))
         elif cfg.imu == 2:
-            parts.append(s.w / 0.5 if cfg.normal else s.w)
+            parts.append(drpy / 0.5 if cfg.normal else drpy)
         if cfg.motor == 1:
             q0 = jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None]
             qn = (q_obs - q0) / 0.1 if cfg.normal else q_obs
@@ -247,12 +298,12 @@ class BatchedQuadrupedEnv:
             by = Rb[0][1] * dx + Rb[1][1] * dy + Rb[2][1] * dz
             bz = Rb[0][2] * dx + Rb[1][2] * dy + Rb[2][2] * dz
             parts.append(jnp.stack([bx, by, bz], axis=1).reshape(12, -1))
+        if cfg.dynamic_vec:
+            # normalized dynamics echo, (48,B) in SoA layout
+            parts.append(randomize.dynamics_to_normalized(state.dyn))
         if cfg.force_vec:
             parts.append(state.dyn.external_force)
         obs = jnp.concatenate(parts, axis=0)        # (obs_dim, B)
-        if cfg.noise:
-            k = jax.random.fold_in(state.rng, jnp.sum(state.step_idx) % 65536)
-            obs = obs + 0.01 * jax.random.normal(k, obs.shape)
         return obs.T                                 # (B, obs_dim)
 
     # -- step -----------------------------------------------------------------
@@ -269,8 +320,19 @@ class BatchedQuadrupedEnv:
             state.etg_w, state.etg_b, state.step_idx)
 
         filter_z = state.filter_z
+        qd_ref = tau_ff = None
         if self.torque_mode:
             cmd = act
+        elif self.hybrid_mode:
+            # (60,B) → per-motor (pos, kp, q̇*, kd, τ_ff); position target
+            # is the usual init+ETG+residual, gains/vel/ff pass to the
+            # hybrid motor law (laikago_motor.py:152-166).
+            a5 = act.reshape(12, 5, -1)
+            cmd = jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None] + \
+                etg_act + a5[:, 0]
+            cmd = jnp.clip(cmd, jnp.asarray(a1.MOTOR_LOWER, F32)[:, None],
+                           jnp.asarray(a1.MOTOR_UPPER, F32)[:, None])
+            qd_ref, tau_ff = a5[:, 2], a5[:, 4]
         else:
             cmd = jnp.asarray(a1.INIT_MOTOR_ANGLES, F32)[:, None] + etg_act + act
             if cfg.train.enable_action_filter:
@@ -285,34 +347,58 @@ class BatchedQuadrupedEnv:
         dyn = state.dyn
         if cfg.random.random_force:
             # Sporadic pushes (perturbation bursts, not a constant wind):
-            # ~0.26 s push every ~3.9 s, direction/magnitude fixed per
-            # burst (resampled via the burst index).
+            # ~0.26 s push every ~3.9 s. Direction/magnitude are a pure
+            # hash of (env, burst_index, episode_salt), so they are
+            # genuinely constant across a burst's steps and resample at
+            # each new burst — no per-step rng leakage.
             burst = state.step_idx // 150              # (B,)
-            active = (state.step_idx % 150) < 10
-            kf = jax.random.fold_in(rng, jnp.asarray(3, jnp.uint32))
-            kd_, km_ = jax.random.split(kf)
-            phi = jax.random.uniform(kd_, (B,), minval=0.0,
-                                     maxval=2 * jnp.pi) + 0.61 * burst
-            mag = jax.random.uniform(km_, (B,)) * cfg.random.max_force
-            mag = mag * active.astype(F32)
+            phase = state.step_idx % 150
+            # mid-cycle window so a fresh episode is never pushed at spawn
+            active = (phase >= 75) & (phase < 85)
+            env_ix = jnp.arange(B, dtype=jnp.int32)
+            # Knuth multiplicative constant as signed int32
+            seed = env_ix * jnp.int32(-1640531535) + state.push_salt
+            u_phi = terrain._hash01(seed, burst)
+            u_mag = terrain._hash01(seed ^ 0x5BF03635, burst)
+            phi = 2 * jnp.pi * u_phi
+            mag = u_mag * cfg.random.max_force * active.astype(F32)
             dyn = dyn._replace(external_force=jnp.stack(
                 [mag * jnp.cos(phi), mag * jnp.sin(phi), jnp.zeros(B)]))
 
+        dyn_phys = dyn
+        if self.hybrid_mode:
+            # commanded gains drive the physics but are NOT persisted into
+            # the env state (dynamics echo / DR keep the sampled gains)
+            dyn_phys = dyn._replace(motor_kp=jnp.maximum(a5[:, 1], 0.0),
+                                    motor_kd=jnp.maximum(a5[:, 3], 0.0))
+        if cfg.sim.motor_overheat_protection:
+            # latched-off motors exert zero torque (ApplyAction:938-947)
+            on_f = state.motor_on.astype(F32)
+            if self.torque_mode:
+                cmd = cmd * on_f
+            else:
+                dyn_phys = dyn_phys._replace(
+                    motor_kp=dyn_phys.motor_kp * on_f,
+                    motor_kd=dyn_phys.motor_kd * on_f)
+                if tau_ff is not None:
+                    tau_ff = tau_ff * on_f
         if cfg.sim.use_pallas:
             from paddlerobotics_tpu.ops.pallas.physics_step import \
                 control_step_pallas
 
             rb = control_step_pallas(
-                state.robot, cmd, dyn, cfg.sim, self.h_fn,
+                state.robot, cmd, dyn_phys, cfg.sim, self.h_fn,
                 torque_mode=self.torque_mode,
                 block_b=min(cfg.sim.pallas_block, self.B))
         else:
             rb = sbatch.control_step(
-                state.robot, cmd, dyn, cfg.sim, self.h_fn,
-                torque_mode=self.torque_mode)
+                state.robot, cmd, dyn_phys, cfg.sim, self.h_fn,
+                torque_mode=self.torque_mode, qd_ref=qd_ref, tau_ff=tau_ff)
         s = rb.s
 
-        # reward terms (all (B,))
+        # reward terms (all (B,)) — shared single-source shapes
+        # (envs/reward.py works on axis-0 reductions, so the SoA
+        # batch-minor layout flows straight through)
         dx = s.pos[0] - state.last_x
         Rb = sbatch.quat_to_mat_cols(s.quat)
         velx = Rb[0][0] * s.v[0] + Rb[0][1] * s.v[1] + Rb[0][2] * s.v[2]
@@ -320,48 +406,79 @@ class BatchedQuadrupedEnv:
         foot_h = (rb.contact.foot_pos[2] -
                   self.h_fn(rb.contact.foot_pos[0], rb.contact.foot_pos[1]) -
                   a1.FOOT_RADIUS)                   # (4,B)
-        rcfg = cfg.reward
-        r_torso = jnp.minimum(dx, rcfg.vel_d * 0.026 * 2.0)
-        r_up = (up_z - 1.0) - 0.05 * (s.w[0] ** 2 + s.w[1] ** 2)
-        clear = jnp.clip(foot_h, 0.0, 0.06) / 0.06
-        sw = swing.astype(F32)
-        n_swing = jnp.maximum(jnp.sum(sw, axis=0), 1.0)
-        r_feet = jnp.sum(clear * sw, axis=0) / n_swing * 0.026
-        r_tau = -1e-4 * jnp.sum(rb.tau ** 2, axis=0)
-        r_stand = -jnp.abs(velx) * 0.026
-        r_badfoot = -(jnp.sum(rb.contact.knee_contact.astype(F32), axis=0) +
-                      rb.contact.base_contact.astype(F32)) * 0.026
-        miss = stance.astype(F32) * (1.0 - rb.contact.foot_contact.astype(F32))
-        r_footcontact = -jnp.sum(miss, axis=0) * 0.026
-        reward = rcfg.reward_p * (
-            rcfg.torso * r_torso + rcfg.up * r_up + rcfg.feet * r_feet +
-            rcfg.tau * r_tau + rcfg.stand * r_stand +
-            rcfg.badfoot * r_badfoot + rcfg.footcontact * r_footcontact)
+        reward, rinfo = reward_mod.compute_reward(
+            cfg.reward, dx, velx, up_z, s.w, rb.tau, foot_h,
+            swing.astype(F32), stance.astype(F32),
+            rb.contact.foot_contact, rb.contact.knee_contact,
+            rb.contact.base_contact)
+        r_torso, r_up, r_feet, r_tau = (rinfo["torso"], rinfo["up"],
+                                        rinfo["feet"], rinfo["tau"])
+        r_stand, r_badfoot, r_footcontact = (
+            rinfo["stand"], rinfo["badfoot"], rinfo["footcontact"])
 
         local_h = self.h_fn(s.pos[0], s.pos[1])
         fallen = ((up_z < 0.6) |
-                  (s.pos[2] - local_h < rcfg.done_height) |
+                  (s.pos[2] - local_h < cfg.reward.done_height) |
                   rb.contact.base_contact)
         done = fallen | jnp.broadcast_to(jnp.asarray(donef), fallen.shape)
 
+        oh_counter, motor_on = state.oh_counter, state.motor_on
+        if cfg.sim.motor_overheat_protection:
+            # per-CONTROL-step approximation of minitaur.py:894-901
+            over = jnp.abs(rb.tau) > cfg.sim.overheat_shutdown_torque
+            oh_counter = jnp.where(over, oh_counter + 1.0, 0.0)
+            limit = cfg.sim.overheat_shutdown_time / cfg.sim.control_dt
+            motor_on = motor_on & (oh_counter <= limit)
+
         new_state = BEnvState(
-            robot=rb, dyn=state.dyn, etg_w=state.etg_w, etg_b=state.etg_b,
+            robot=rb, dyn=dyn, etg_w=state.etg_w, etg_b=state.etg_b,
             step_idx=state.step_idx + 1, rng=rng,
-            last_x=s.pos[0], done=done, filter_z=filter_z)
+            last_x=s.pos[0], done=done, filter_z=filter_z,
+            push_salt=state.push_salt,
+            oh_counter=oh_counter, motor_on=motor_on)
 
         if autoreset:
             fresh = self._fresh_robot()
-            sel_r = lambda f, n: jnp.where(
+            if cfg.train.x_noise:
+                # reset-position jitter for auto-resetting envs, matching
+                # the explicit reset() path (train.py --x_noise)
+                kx = jax.random.fold_in(rng, jnp.asarray(31, jnp.uint32))
+                dxy = 0.02 * jax.random.normal(kx, (2, B))
+                pos = fresh.s.pos.at[0].add(dxy[0]).at[1].add(dxy[1])
+                fresh = fresh.replace(s=fresh.s.replace(pos=pos))
+            sel_b_last = lambda f, n: jnp.where(
                 done.reshape((1,) * (n.ndim - 1) + (-1,)), f, n)
-            rb_next = jax.tree.map(sel_r, fresh, new_state.robot)
+            rb_next = jax.tree.map(sel_b_last, fresh, new_state.robot)
             fresh_fz = self._af.init_filter_state(self._fb, self._fa,
                                                   fresh.s.q)
+            dyn_next = new_state.dyn._replace(
+                external_force=jnp.where(done[None, :], 0.0,
+                                         new_state.dyn.external_force))
+            if cfg.random.random_dynamics:
+                # Per-EPISODE domain randomization: the reference resamples
+                # dynamics at every env.reset() when random_dynamics is on;
+                # under autoreset that means each finished env draws a
+                # fresh set here, not only at the explicit reset().
+                kd = jax.random.split(
+                    jax.random.fold_in(rng, jnp.asarray(23, jnp.uint32)),
+                    B)
+                sc = cfg.random.dynamics_scale
+                dp = jax.vmap(lambda k: randomize.sample_dynamics(
+                    k, scale=sc))(kd)
+                fresh_dyn = BDynParams.from_leading(dp)._replace(
+                    external_force=jnp.zeros((3, B), F32))
+                dyn_next = jax.tree.map(sel_b_last, fresh_dyn, dyn_next)
             new_state = new_state.replace(
                 robot=rb_next,
+                dyn=dyn_next,
                 step_idx=jnp.where(done, 0, new_state.step_idx),
                 last_x=jnp.where(done, fresh.s.pos[0], new_state.last_x),
                 filter_z=jnp.where(done[None, None, :], fresh_fz,
-                                   new_state.filter_z))
+                                   new_state.filter_z),
+                oh_counter=jnp.where(done[None, :], 0.0,
+                                     new_state.oh_counter),
+                motor_on=jnp.where(done[None, :], True,
+                                   new_state.motor_on))
 
         etg_next, _, _, v_next = self._etg_residual(
             new_state.etg_w, new_state.etg_b, new_state.step_idx)

@@ -55,6 +55,9 @@ class EnvState:
     init_rpy: jnp.ndarray
     filter_state: jnp.ndarray  # (2,12) Butterworth carry
     done: jnp.ndarray          # () bool
+    push_salt: jnp.ndarray     # () int32 seed for burst-indexed pushes
+    oh_counter: jnp.ndarray    # (12,) consecutive over-torque steps
+    motor_on: jnp.ndarray      # (12,) bool overheat latch
 
 
 class QuadrupedEnv:
@@ -72,14 +75,29 @@ class QuadrupedEnv:
         self._filter_b, self._filter_a = af.butter_lowpass_coeffs(
             1.0 / config.sim.control_dt)
         mode = config.train.act_mode
+        self.act_offset = np.zeros(12)
         if mode == "pose":
             self.act_bound = np.array([0.1, 0.7, 0.7] * 4)
         elif mode == "torque":
             self.act_bound = np.array([10.0] * 12)
+        elif mode == "hybrid":
+            # (pos, kp, q̇*, kd, τ_ff) per motor — same mapping as the
+            # batched path (see BatchedQuadrupedEnv.__init__).
+            kp0 = np.asarray(a1.MOTOR_KP)
+            kd0 = np.asarray(a1.MOTOR_KD)
+            self.act_bound = np.stack([
+                np.full(12, config.train.act_bound), 0.5 * kp0,
+                np.full(12, 2.0), 0.5 * kd0, np.full(12, 5.0)],
+                axis=1).reshape(60)
+            self.act_offset = np.stack([
+                np.zeros(12), kp0, np.zeros(12), kd0, np.zeros(12)],
+                axis=1).reshape(60)
         else:  # traj
             self.act_bound = np.array([config.train.act_bound] * 12)
-        self.control_mode = (MotorControlMode.TORQUE if mode == "torque"
-                             else MotorControlMode.POSITION)
+        self.control_mode = {
+            "torque": MotorControlMode.TORQUE,
+            "hybrid": MotorControlMode.HYBRID,
+        }.get(mode, MotorControlMode.POSITION)
         self._spawn_height = 0.27
 
     # -- helpers -------------------------------------------------------------
@@ -90,7 +108,7 @@ class QuadrupedEnv:
 
     @property
     def action_dim(self) -> int:
-        return 12
+        return 60 if self.control_mode == MotorControlMode.HYBRID else 12
 
     def default_etg(self):
         return jnp.asarray(self._w0), jnp.asarray(self._b0)
@@ -137,7 +155,12 @@ class QuadrupedEnv:
             init_rpy=math3d.quat_to_euler(rb.state.base_quat),
             filter_state=af.init_filter_state(
                 self._filter_b, self._filter_a, rb.state.q),
-            done=jnp.zeros((), bool))
+            done=jnp.zeros((), bool),
+            push_salt=jax.random.randint(
+                jax.random.fold_in(rng, 5), (), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
+            oh_counter=jnp.zeros(12),
+            motor_on=jnp.ones(12, bool))
         etg_act, _, _, _ = self._etg_residual(etg_w, etg_b, state.step_idx)
         obs = self._observe(state, etg_act)
         return state, obs
@@ -162,10 +185,14 @@ class QuadrupedEnv:
         if cfg.etg_obs:
             etg_features = jnp.asarray(self._va)[state.step_idx % MAX_EPISODE_STEPS]
         rng = jax.random.fold_in(state.rng, state.step_idx) if cfg.noise else None
+        dyn_vec = None
+        if cfg.dynamic_vec:
+            dyn_vec = randomize.dynamics_to_normalized(state.dyn)
         return sensors.assemble_obs(
             cfg, base_vel_w, rb.contact.in_contact, rpy, drpy,
             q_obs, qd_obs, etg_act,
             etg_features=etg_features, foot_pose=foot_pose,
+            dynamic_vec=dyn_vec,
             ext_force=state.dyn.external_force, rng=rng)
 
     # -- step ----------------------------------------------------------------
@@ -183,6 +210,15 @@ class QuadrupedEnv:
         if self.control_mode == MotorControlMode.TORQUE:
             cmd = action
             filt_state = state.filter_state
+        elif self.control_mode == MotorControlMode.HYBRID:
+            a5 = action.reshape(12, 5)
+            q_des = jnp.clip(
+                jnp.asarray(a1.INIT_MOTOR_ANGLES) + etg_act + a5[:, 0],
+                jnp.asarray(a1.MOTOR_LOWER), jnp.asarray(a1.MOTOR_UPPER))
+            cmd = jnp.stack([
+                q_des, jnp.maximum(a5[:, 1], 0.0), a5[:, 2],
+                jnp.maximum(a5[:, 3], 0.0), a5[:, 4]], axis=1).reshape(60)
+            filt_state = state.filter_state
         else:
             target = jnp.asarray(a1.INIT_MOTOR_ANGLES) + etg_act + action
             if self.cfg.train.enable_action_filter:
@@ -193,18 +229,48 @@ class QuadrupedEnv:
             cmd = jnp.clip(target, jnp.asarray(a1.MOTOR_LOWER),
                            jnp.asarray(a1.MOTOR_UPPER))
 
-        # random push force, resampled each step when enabled
+        # Sporadic push bursts — identical semantics to the batched path:
+        # ~0.26 s push every ~3.9 s, direction/magnitude a pure hash of
+        # (burst index, episode salt), constant within a burst.
         rng = state.rng
         dyn = state.dyn
         if cfg.random.random_force:
-            rng, k = jax.random.split(rng)
-            dyn = dyn.replace(external_force=randomize.sample_push_force(
-                k, cfg.random.max_force))
+            rng, _ = jax.random.split(rng)
+            burst = state.step_idx // 150
+            phase_i = state.step_idx % 150
+            active = (phase_i >= 75) & (phase_i < 85)
+            u_phi = terrain._hash01(state.push_salt, burst)
+            u_mag = terrain._hash01(state.push_salt ^ 0x5BF03635, burst)
+            phi = 2 * jnp.pi * u_phi
+            mag = u_mag * cfg.random.max_force * active.astype(jnp.float32)
+            dyn = dyn.replace(external_force=jnp.stack(
+                [mag * jnp.cos(phi), mag * jnp.sin(phi), jnp.zeros(())]))
 
+        dyn_phys = dyn
+        if cfg.sim.motor_overheat_protection:
+            # latched-off motors exert zero torque (ApplyAction:938-947)
+            on_f = state.motor_on.astype(jnp.float32)
+            if self.control_mode == MotorControlMode.TORQUE:
+                cmd = cmd * on_f
+            elif self.control_mode == MotorControlMode.HYBRID:
+                c5 = cmd.reshape(12, 5)
+                c5 = c5.at[:, 1].mul(on_f).at[:, 3].mul(on_f) \
+                     .at[:, 4].mul(on_f)
+                cmd = c5.reshape(60)
+            else:
+                dyn_phys = dyn.replace(motor_kp=dyn.motor_kp * on_f,
+                                       motor_kd=dyn.motor_kd * on_f)
         rb = robot_mod.control_step(
-            state.robot, cmd, dyn, cfg.sim, self.h_fn,
+            state.robot, cmd, dyn_phys, cfg.sim, self.h_fn,
             control_mode=self.control_mode)
         st = rb.state
+        oh_counter, motor_on = state.oh_counter, state.motor_on
+        if cfg.sim.motor_overheat_protection:
+            over = jnp.abs(rb.applied_torque) > \
+                cfg.sim.overheat_shutdown_torque
+            oh_counter = jnp.where(over, oh_counter + 1.0, 0.0)
+            limit = cfg.sim.overheat_shutdown_time / cfg.sim.control_dt
+            motor_on = motor_on & (oh_counter <= limit)
 
         # reward ingredients
         dx = st.base_pos[0] - state.last_base_pos[0]
@@ -230,11 +296,18 @@ class QuadrupedEnv:
         done = fallen | jnp.asarray(donef)
 
         new_state = EnvState(
-            robot=rb, dyn=state.dyn, etg_w=state.etg_w, etg_b=state.etg_b,
+            robot=rb, dyn=dyn, etg_w=state.etg_w, etg_b=state.etg_b,
             step_idx=state.step_idx + 1, rng=rng,
             last_base_pos=st.base_pos, init_rpy=state.init_rpy,
-            filter_state=filt_state, done=done)
-        obs = self._observe(new_state, etg_act)
+            filter_state=filt_state, done=done,
+            push_salt=state.push_salt,
+            oh_counter=oh_counter, motor_on=motor_on)
+        # Post-step obs reflects the *next* step's ETG signal (the reference
+        # increments iter before get_observation, EnvWrapper.py:103-120);
+        # info["ETG_act"] below stays the residual applied THIS step.
+        etg_next, _, _, _ = self._etg_residual(
+            state.etg_w, state.etg_b, new_state.step_idx)
+        obs = self._observe(new_state, etg_next)
         info["ETG_act"] = etg_act
         info["success"] = (velx >= 0.3).astype(jnp.float32)
         return new_state, obs, rew, done, info
@@ -248,8 +321,13 @@ class QuadrupedEnv:
         the fresh episode's first obs — the Brax/Isaac convention."""
         nstate, obs, rew, done, info = self.step(state, action, donef)
         rng_new = jax.random.fold_in(state.rng, state.step_idx + 7919)
+        # Per-episode semantics: when random_dynamics is on, a fresh
+        # episode draws fresh dynamics (dyn=None → resample inside reset);
+        # x_noise jitter applies to the fresh spawn as at explicit reset.
+        keep_dyn = None if self.cfg.random.random_dynamics else state.dyn
         rstate, robs = self.reset(rng_new, state.etg_w, state.etg_b,
-                                  dyn=state.dyn)
+                                  dyn=keep_dyn,
+                                  x_noise=self.cfg.train.x_noise)
         next_state = jax.tree.map(
             lambda r, n: jnp.where(
                 jnp.reshape(done, (1,) * r.ndim), r, n), rstate, nstate)

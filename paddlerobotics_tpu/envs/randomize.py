@@ -65,6 +65,38 @@ def sample_dynamics(rng: jax.Array, enable: bool = True,
     return param2dynamic(p)
 
 
+def dynamics_to_normalized(dyn) -> jnp.ndarray:
+    """Invert `param2dynamic`: physical params → the normalized [-1,1]⁴⁸
+    echo vector (the SENSOR_MODE["dynamic_vec"] observation,
+    train.py:268). Exact wherever the forward map didn't clip; clipped
+    coordinates saturate at ±1.
+
+    Works on both the per-env `DynamicsParams` (leading shapes) and the
+    batch-minor `BDynParams` (trailing (B,) axis): scalars are lifted to a
+    length-1 leading axis and per-motor constants broadcast over any
+    trailing batch dims, so the result is (48,) or (48, B).
+    """
+    lead = lambda x: jnp.reshape(x, (1,) + jnp.shape(x))
+    li = dyn.leg_inertia_scale
+    li12 = jnp.reshape(li, (12,) + jnp.shape(li)[2:])
+    extra = lambda ref: (1,) * (li12.ndim - 1)
+    kd_base = jnp.asarray([1.0, 2.0, 2.0] * 4).reshape((12,) + extra(None))
+    g_base = jnp.asarray([0.0, 0.0, -10.0]).reshape((3,) + extra(None))
+    g_scale = jnp.asarray([2.0, 2.0, 10.0]).reshape((3,) + extra(None))
+    rows = [
+        lead((dyn.control_latency * 1000.0 - 40.0) / 10.0),
+        lead((dyn.foot_friction * 0.6 - 0.2) / 10.0),
+        lead(dyn.base_mass_scale * 1.5 - 1.5),
+        dyn.base_inertia_scale - 1.0,
+        dyn.leg_mass_scale - 1.0,
+        li12 - 1.0,
+        (dyn.motor_kp - 80.0) / 40.0,
+        (dyn.motor_kd - kd_base) / kd_base,
+        (dyn.gravity - g_base) / g_scale,
+    ]
+    return jnp.clip(jnp.concatenate(rows, axis=0), -1.0, 1.0)
+
+
 def sample_push_force(rng: jax.Array, max_force: float) -> jnp.ndarray:
     """Random horizontal push on the trunk (Random_Param_Dict['random_force'])."""
     d = jax.random.normal(rng, (2,))

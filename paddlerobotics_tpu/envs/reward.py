@@ -10,7 +10,21 @@ trainer can log episode_{torso,feet,up,tau,...} exactly like the
 reference's summary scalars (train.py:363-366).
 
 Term definitions below are our TPU-native reconstruction: smooth,
-branch-free, per-step bounded.
+branch-free, per-step bounded. Because the exact shapes are not
+recoverable from the reference (MonitorEnv is in the unvendored
+rlschool), each term's SCALE is calibrated so that the reference's
+DEFAULT weight vector (torso 1.5, up 0.6, feet 0.3, tau 0.07,
+badfoot 0.1, footcontact 0.1) reproduces the hand-validated
+stairs-learning effective reward (round-1 recipe: torso 3.0, up 0.2,
+feet 0.5, tau 0.05, badfoot 0.05, footcontact 0.05 — CLAUDE.md):
+shape_k := shape_k^{r1} · (w_k^{validated} / w_k^{default}). With these
+shapes, `--task_mode stairstair` learns stair climbing under the
+unmodified reference flag defaults (the reference's headline behavioral
+claim); see docs/reward_calibration.md.
+
+This module is the SINGLE source of truth for rewards: both the per-env
+path and the batch-minor SoA path call it (all reductions are axis=0,
+so (12,)/(12,B) etc. both work).
 """
 
 from __future__ import annotations
@@ -52,24 +66,27 @@ def compute_reward(cfg: RewardConfig,
       knee_contacts: (4,) bool knee/calf illegal contact.
       base_contact: () bool trunk-ground contact.
     """
-    # torso: forward progress toward vel_d, capped so over-speed isn't free.
-    r_torso = jnp.minimum(dx, cfg.vel_d * 0.026 * 2.0)
-    # up: uprightness + rotational calmness.
-    r_up = (up_z - 1.0) - 0.05 * jnp.sum(drpy[:2] ** 2)
+    # torso: forward progress toward vel_d, capped so over-speed isn't
+    # free. ×2.0 calibration (validated 3.0 / default 1.5).
+    r_torso = 2.0 * jnp.minimum(dx, cfg.vel_d * 0.026 * 2.0)
+    # up: uprightness + rotational calmness. ×1/3 (0.2/0.6).
+    r_up = ((up_z - 1.0) - 0.05 * jnp.sum(drpy[:2] ** 2, axis=0)) / 3.0
     # feet: swing feet should clear the ground (up to 6 cm counts).
+    # ×5/3 (0.5/0.3).
     clear = jnp.clip(foot_clearance, 0.0, 0.06) / 0.06
-    n_swing = jnp.maximum(jnp.sum(swing_mask), 1.0)
-    r_feet = jnp.sum(clear * swing_mask) / n_swing * 0.026
-    # tau: energy penalty.
-    r_tau = -1e-4 * jnp.sum(torques ** 2)
+    n_swing = jnp.maximum(jnp.sum(swing_mask, axis=0), 1.0)
+    r_feet = jnp.sum(clear * swing_mask, axis=0) / n_swing * (0.026 * 5 / 3)
+    # tau: energy penalty. ×5/7 (0.05/0.07).
+    r_tau = -1e-4 * (5.0 / 7.0) * jnp.sum(torques ** 2, axis=0)
     # stand: stillness shaping (weight 0 by default, as in the reference).
     r_stand = -jnp.abs(velx) * 0.026
-    # badfoot: knee or trunk illegal contact penalty.
-    r_badfoot = -(jnp.sum(knee_contacts.astype(jnp.float32))
-                  + base_contact.astype(jnp.float32)) * 0.026
+    # badfoot: knee or trunk illegal contact penalty. ×1/2 (0.05/0.1).
+    r_badfoot = -(jnp.sum(knee_contacts.astype(jnp.float32), axis=0)
+                  + base_contact.astype(jnp.float32)) * 0.013
     # footcontact: stance feet must actually touch the ground.
+    # ×1/2 (0.05/0.1).
     miss = stance_mask * (1.0 - foot_contacts.astype(jnp.float32))
-    r_footcontact = -jnp.sum(miss) * 0.026
+    r_footcontact = -jnp.sum(miss, axis=0) * 0.013
 
     reward = cfg.reward_p * (
         cfg.torso * r_torso

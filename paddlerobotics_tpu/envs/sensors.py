@@ -58,6 +58,7 @@ def assemble_obs(cfg: SensorConfig,
                  etg_act: jnp.ndarray,
                  etg_features: jnp.ndarray | None = None,
                  foot_pose: jnp.ndarray | None = None,
+                 dynamic_vec: jnp.ndarray | None = None,
                  ext_force: jnp.ndarray | None = None,
                  rng: jax.Array | None = None) -> jnp.ndarray:
     """Flat observation for one env (vmap for batches)."""
@@ -96,6 +97,10 @@ def assemble_obs(cfg: SensorConfig,
         parts.append(etg_features)
     if cfg.footpose and foot_pose is not None:
         parts.append(foot_pose.reshape(-1))
+    if cfg.dynamic_vec and dynamic_vec is not None:
+        # normalized [-1,1]⁴⁸ dynamics echo (SENSOR_MODE["dynamic_vec"],
+        # train.py:268) — already normalized, appended raw
+        parts.append(dynamic_vec)
     if cfg.force_vec and ext_force is not None:
         parts.append(ext_force)
     return jnp.concatenate(parts)

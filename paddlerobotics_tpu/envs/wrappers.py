@@ -38,6 +38,26 @@ class ObsHistoryWrapper:
             return base * (self.time_steps + 1)
         return base
 
+    # passthroughs so the wrapper is a drop-in env for the trainers
+    @property
+    def action_dim(self):
+        return self.env.action_dim
+
+    @property
+    def act_bound(self):
+        return self.env.act_bound
+
+    @property
+    def act_offset(self):
+        return self.env.act_offset
+
+    @property
+    def cfg(self):
+        return self.env.cfg
+
+    def default_etg(self):
+        return self.env.default_etg()
+
     def _assemble(self, history, obs):
         """history (B,L,obs), obs (B,obs) → stacked/sequence output
         (EnvWrapper.py:209-219: samples every `time_interval` slots plus
@@ -49,8 +69,9 @@ class ObsHistoryWrapper:
             return seq.reshape(seq.shape[0], -1)
         return seq
 
-    def reset(self, rng, **kw) -> Tuple[ObsHistoryState, jnp.ndarray]:
-        env_state, obs = self.env.reset(rng, **kw)
+    def reset(self, rng, etg_w=None, etg_b=None, **kw
+              ) -> Tuple[ObsHistoryState, jnp.ndarray]:
+        env_state, obs = self.env.reset(rng, etg_w=etg_w, etg_b=etg_b, **kw)
         B = obs.shape[0]
         L = self.time_steps * self.time_interval
         history = jnp.zeros((B, L, obs.shape[-1]))
@@ -58,9 +79,10 @@ class ObsHistoryWrapper:
         return ObsHistoryState(env_state, history), \
             self._assemble(history, obs)
 
-    def step(self, state: ObsHistoryState, action, donef=False):
+    def step(self, state: ObsHistoryState, action, donef=False,
+             autoreset: bool = True):
         env_state, obs, rew, done, info = self.env.step(
-            state.env_state, action, donef)
+            state.env_state, action, donef, autoreset=autoreset)
         history = jnp.concatenate(
             [state.history[:, 1:, :], obs[:, None, :]], axis=1)
         # reset history rows on episode boundary

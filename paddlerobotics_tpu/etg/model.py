@@ -30,6 +30,19 @@ LEG_PHASE_GROUP = np.array([0, 1, 1, 0])
 # Lateral offset sign: right legs (FR, RR) outward is −y, left legs +y.
 LATERAL_SIGN = np.array([-1.0, 1.0, -1.0, 1.0])
 
+# Per-leg stance-foot offsets of rlschool's ETG_model relative to
+# FK(INIT_MOTOR_ANGLES), recovered numerically from the shipped golden gait
+# `gait_action_list_ETG_exp.npy` (produced by env_test.py:51-58 at
+# step_y=0.05): running our FK over the golden joint angles shows every
+# leg's foot-y is *exactly* constant (std 0 over 600 steps) at the values
+# below, rear-leg x is offset from front by exactly +0.006 m, and z offsets
+# are zero. The y column is parameterized as  measured + sign·(step_y−0.05)
+# so the --step_y flag keeps its meaning around the recovered operating
+# point. tests/test_etg.py::test_golden_gait_rmse pins this end to end.
+STANCE_OFFSET_X = np.array([0.0, 0.0, 0.006, 0.006])     # FR FL RR RL
+STANCE_OFFSET_Y = np.array([-0.015764, 0.018136, -0.005764, 0.005136])
+REFERENCE_STEP_Y = 0.05
+
 
 def default_foot_positions() -> np.ndarray:
     """Foot positions in base frame at the default standing pose, (4,3).
@@ -69,7 +82,9 @@ def foot_deltas(w: jnp.ndarray, b: jnp.ndarray,
     d_b = w @ v_b + b          # (3,) for phase group 1
     group = jnp.asarray(LEG_PHASE_GROUP)
     d = jnp.where(group[:, None] == 0, d_a[None, :], d_b[None, :])
-    lateral = cfg.step_y * jnp.asarray(LATERAL_SIGN)
+    lateral = jnp.asarray(STANCE_OFFSET_Y) + \
+        (cfg.step_y - REFERENCE_STEP_Y) * jnp.asarray(LATERAL_SIGN)
+    d = d.at[:, 0].add(jnp.asarray(STANCE_OFFSET_X))
     return d.at[:, 1].add(lateral)
 
 

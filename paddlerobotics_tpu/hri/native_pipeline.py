@@ -128,7 +128,24 @@ class NativePipeline:
                 "action_id": act.value,
                 "target_bbox": list(bbox)}
 
+    def serve(self, port: int = 0) -> int:
+        """Expose this pipeline over the native streaming transport
+        (runtime_cpp/stream_server.cpp; the socket stand-in for the
+        reference's gRPC ProactiveGreeting service). Returns the bound
+        port (ephemeral when port=0). Clients: hri.stream_client."""
+        self._lib.server_create.restype = ctypes.c_void_p
+        self._lib.server_create.argtypes = [ctypes.c_void_p,
+                                            ctypes.c_ushort]
+        self._lib.server_port.argtypes = [ctypes.c_void_p]
+        self._lib.server_port.restype = ctypes.c_int
+        self._lib.server_destroy.argtypes = [ctypes.c_void_p]
+        self._server = self._lib.server_create(self._handle, port)
+        return int(self._lib.server_port(self._server))
+
     def close(self):
+        if getattr(self, "_server", None):
+            self._lib.server_destroy(self._server)
+            self._server = None
         if self._handle:
             self._lib.pipeline_destroy(self._handle)
             self._handle = None

@@ -200,6 +200,36 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
     return keep_boxes, keep_scores, valid
 
 
+def nms_topk_multiclass(boxes: jnp.ndarray, scores: jnp.ndarray,
+                        max_dets: int = 20, iou_threshold: float = 0.45,
+                        score_threshold: float = 0.25):
+    """Per-class NMS (the reference's multiclass_nms semantics,
+    yolo_v4.py box post-processing): suppression only applies within a
+    class. Implemented exactly via the coordinate-offset trick — each
+    class's boxes are translated to a disjoint region so one agnostic
+    pass equals C per-class passes.
+
+    boxes (N,4), scores (N,C) → (boxes (K,4), scores (K,),
+    class_ids (K,), valid (K,)).
+    """
+    N, C = scores.shape
+    lo = jnp.min(boxes)
+    b0 = boxes - lo                                       # coords ≥ 0
+    span = jnp.max(b0) + 1.0
+    flat_scores = scores.reshape(-1)                      # (N*C,)
+    cls_ids = jnp.tile(jnp.arange(C), (N, 1)).reshape(-1)
+    box_rep = jnp.repeat(b0, C, axis=0)                   # (N*C,4)
+    offset = (cls_ids.astype(boxes.dtype) * span)[:, None]
+    kept_b, kept_s, valid = nms_topk(box_rep + offset, flat_scores,
+                                     max_dets, iou_threshold,
+                                     score_threshold)
+    # recover class ids and un-offset the boxes
+    kc = jnp.clip(jnp.floor(kept_b[:, 0] / span), 0, C - 1).astype(jnp.int32)
+    kc = jnp.where(valid, kc, 0)
+    kept_b = kept_b - (kc.astype(boxes.dtype) * span)[:, None] + lo
+    return kept_b, kept_s, kc, valid
+
+
 def _iou_one(box, boxes):
     lt = jnp.maximum(box[:2], boxes[:, :2])
     rb = jnp.minimum(box[2:], boxes[:, 2:])

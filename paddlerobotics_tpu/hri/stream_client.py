@@ -1,0 +1,66 @@
+"""Python client for the native streaming greeting service.
+
+Counterpart of the reference's gRPC clients (jetson/parallel_eval.py for
+eval; the robot side of ProactiveGreeting.infer) over the
+length-prefixed TCP protocol of runtime_cpp/stream_server.cpp — see
+that header for the wire format and the proto field mapping.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class GreetingStreamClient:
+    """Streams VideoRequests to a running StreamServer and reads
+    InferResponse JSONs."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 9310,
+                 timeout: float = 10.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def send_frame(self, req_id: int, pixels: np.ndarray,
+                   lag_ms: int = 0, wakeup: str = "") -> None:
+        """pixels: float32 letterboxed RGB in [0,1], any shape (flattened
+        on the wire — the server expects 416·416·3 in production)."""
+        px = np.ascontiguousarray(pixels, np.float32).reshape(-1)
+        wk = wakeup.encode("utf-8")
+        body = (struct.pack("<Bii", 1, req_id, lag_ms) +
+                struct.pack("<I", len(wk)) + wk +
+                struct.pack("<I", px.size) + px.tobytes())
+        self.sock.sendall(struct.pack("<I", len(body)) + body)
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("stream closed")
+            buf += chunk
+        return buf
+
+    def read_response(self) -> dict:
+        """Blocking read of one InferResponse → parsed JSON dict."""
+        (plen,) = struct.unpack("<I", self._read_exact(4))
+        payload = self._read_exact(plen)
+        if payload[0] != 2:
+            raise ValueError(f"unexpected message type {payload[0]}")
+        (jlen,) = struct.unpack("<I", payload[1:5])
+        return json.loads(payload[5:5 + jlen].decode("utf-8"))
+
+    def responses(self) -> Iterator[dict]:
+        while True:
+            yield self.read_response()
+
+    def close(self):
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self.sock.close()

@@ -154,6 +154,5 @@ def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
                        knee_contact=kcon > 0.5, base_contact=bcon > 0.5)
     q_hist = jnp.concatenate([q[None], rb.q_obs_hist[:-1]], axis=0)
     qd_hist = jnp.concatenate([qd[None], rb.qd_obs_hist[:-1]], axis=0)
-    return BRobot(s=ns, q_prev=rb.s.q, qd_prev=rb.s.qd,
-                  last_action=jnp.asarray(action, F32), tau=tau,
+    return BRobot(s=ns, last_action=jnp.asarray(action, F32), tau=tau,
                   contact=contact, q_obs_hist=q_hist, qd_obs_hist=qd_hist)

@@ -34,7 +34,10 @@ def _point_forces(pos, vel, h_fn, radius, k, d, mu, vs):
     h, n = terrain.height_and_normal(h_fn, x, y)
     phi = h - (z - radius)                      # >0 ⇒ penetrating
     in_contact = phi > 0.0
-    phi_c = jnp.maximum(phi, 0.0)
+    # stair-edge regularization (see sbatch._point_contact): project the
+    # vertical gap onto the surface normal and cap it, so riser grazes
+    # give bounded forces
+    phi_c = jnp.minimum(jnp.maximum(phi, 0.0) * n[..., 2], 0.04)
 
     vn = jnp.sum(vel * n, axis=-1)
     f_n_mag = jnp.maximum(k * phi_c - d * vn * (phi_c > 0), 0.0)

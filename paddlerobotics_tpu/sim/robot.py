@@ -94,6 +94,12 @@ def substep(robot: RobotState, motor_command: jnp.ndarray,
         state, a0, qdd, cfg.substep_dt,
         max_joint_vel=cfg.max_joint_velocity,
         max_base_vel=cfg.max_base_velocity)
+    if cfg.on_rack:
+        # on-rack debug mode (minitaur.py:106, 418): the base is welded to
+        # a rack — joints articulate, the trunk never moves.
+        new_state = new_state.replace(
+            base_pos=state.base_pos, base_quat=state.base_quat,
+            base_lin_vel=jnp.zeros(3), base_ang_vel=jnp.zeros(3))
 
     q_hist = jnp.concatenate([new_state.q[None], robot.q_hist[:-1]], axis=0)
     qd_hist = jnp.concatenate([new_state.qd[None], robot.qd_hist[:-1]], axis=0)
@@ -118,15 +124,25 @@ def control_step(robot: RobotState, action: jnp.ndarray,
 
     prev_action = robot.last_action
     n = cfg.action_repeat
+    hybrid = control_mode == MotorControlMode.HYBRID
+    # HYBRID: interpolate only the position slot; gains/vel/ff are held
+    # constant over the repeat window (same convention as the batched
+    # path). last_action stays (12,) — the position target.
+    q_des = action.reshape(12, 5)[:, 0] if hybrid else action
 
     def body(rb, i):
-        if cfg.enable_action_interpolation and control_mode == MotorControlMode.POSITION:
+        if cfg.enable_action_interpolation and \
+                control_mode != MotorControlMode.TORQUE:
             t = (i + 1.0) / n
-            cmd = prev_action + t * (action - prev_action)
+            q_t = prev_action + t * (q_des - prev_action)
         else:
-            cmd = action
+            q_t = q_des
+        if hybrid:
+            cmd = action.reshape(12, 5).at[:, 0].set(q_t).reshape(60)
+        else:
+            cmd = q_t
         rb = substep(rb, cmd, params, cfg, h_fn, control_mode)
         return rb, None
 
     robot, _ = jax.lax.scan(body, robot, jnp.arange(n))
-    return robot.replace(last_action=action)
+    return robot.replace(last_action=q_des)

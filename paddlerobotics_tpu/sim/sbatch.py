@@ -17,12 +17,16 @@ X = [[E,0],[−Er̂,E]] expands blockwise to
 
 Deviation from the per-env reference path (documented): observation
 latency for the *policy* is modeled at control-step granularity (ring of
-4 control-step snapshots, per-env interpolated — covers the 0–80 ms
-randomization range, train.py:116), while the inner PD loop sees a fixed
-one-substep delay (2.6 ms ≈ the reference's 2 ms default control_latency,
-a1.py:233). The reference interpolates a substep-resolution deque for
-both (minitaur.py:1172-1193); only the policy path is sensitive to the
-randomized range.
+control-step snapshots, per-env interpolated — covers the 0–80 ms
+randomization range, train.py:116), while the inner PD loop acts on the
+CURRENT undelayed substep state (zero delay — a 1-substep-delayed qd
+feedback rings at kp=100 with our 2.6 ms substep; the reference applies
+its 2 ms default control_latency to the PD input via a substep-resolution
+deque, minitaur.py:1172-1193, a1.py:233). The per-env robot.py path uses
+latency-interpolated PD inputs instead, so the two physics paths are only
+approximately equivalent; tests/test_pallas_physics.py and
+tests/test_batched_env.py choose their cross-check tolerances with this
+in mind. Only the policy path is sensitive to the randomized range.
 """
 
 from __future__ import annotations
@@ -68,8 +72,6 @@ class BContact:
 @struct.dataclass
 class BRobot:
     s: BQuadState
-    q_prev: jnp.ndarray       # (12,B) previous-substep angles (PD delay)
-    qd_prev: jnp.ndarray      # (12,B)
     last_action: jnp.ndarray  # (12,B)
     tau: jnp.ndarray          # (12,B) applied torques (last substep)
     contact: BContact
@@ -499,7 +501,13 @@ def _point_contact(px, py, pz, vx, vy, vz, h_fn, radius, k, d, mu, vs):
 
     phi = h - (pz - radius)
     in_contact = phi > 0.0
-    phi_c = jnp.maximum(phi, 0.0)
+    # Stair-edge regularization: the vertical gap `phi` jumps by the full
+    # step height when a point crosses a riser; the geometric distance to
+    # the (finite-difference-tilted) surface is phi·nz, and we cap it so
+    # an edge graze produces a bounded impulse instead of a ~step_height·k
+    # shove (PyBullet's LCP resolves risers as faces; this is the penalty
+    # analogue).
+    phi_c = jnp.minimum(jnp.maximum(phi, 0.0) * nz, 0.04)
     vn = vx * nx + vy * ny + vz * nz
     fn_mag = jnp.maximum(k * phi_c - d * vn * in_contact, 0.0)
 
@@ -597,9 +605,15 @@ def integrate(s: BQuadState, a0, qdd, dt: float, cfg: SimConfig) -> BQuadState:
 # --- substep / control step --------------------------------------------------
 
 def substep(rb: BRobot, cmd: jnp.ndarray, p: BDynParams, cfg: SimConfig,
-            h_fn, torque_mode: bool = False, inertias=None) -> BRobot:
-    """One physics substep: PD (on 1-substep-delayed obs) → contacts →
-    ABA → integrate."""
+            h_fn, torque_mode: bool = False, inertias=None,
+            qd_ref: jnp.ndarray | None = None,
+            tau_ff: jnp.ndarray | None = None) -> BRobot:
+    """One physics substep: PD (zero-delay, on the current state) →
+    contacts → ABA → integrate.
+
+    `qd_ref`/`tau_ff` extend the PD law to the full HYBRID motor command
+    τ = −kp(q−q*) − kd(q̇−q̇*) + τ_ff (laikago_motor.py:152-166); both
+    default to None (≡ zero) so the POSITION path is unchanged."""
     s = rb.s
     if torque_mode:
         tau = jnp.clip(cmd, -a1.TORQUE_LIMIT[0], a1.TORQUE_LIMIT[0])
@@ -609,7 +623,10 @@ def substep(rb: BRobot, cmd: jnp.ndarray, p: BDynParams, cfg: SimConfig,
         # which is *below* our 2.6 ms substep — zero delay is the closest
         # stable discretization (1-substep-delayed qd feedback rings at
         # kp=100).
-        tau = -p.motor_kp * (s.q - cmd) - p.motor_kd * s.qd
+        qd_err = s.qd if qd_ref is None else s.qd - qd_ref
+        tau = -p.motor_kp * (s.q - cmd) - p.motor_kd * qd_err
+        if tau_ff is not None:
+            tau = tau + tau_ff
         tau = jnp.clip(tau, -a1.TORQUE_LIMIT[0], a1.TORQUE_LIMIT[0])
 
     poses = _chain_poses(s)
@@ -620,16 +637,24 @@ def substep(rb: BRobot, cmd: jnp.ndarray, p: BDynParams, cfg: SimConfig,
         s, tau, foot_f, knee_f, base_f, p, poses, vels,
         inertias=inertias)
     s_new = integrate(s, a0, qdd, cfg.substep_dt, cfg)
+    if cfg.on_rack:
+        # on-rack debug mode (minitaur.py:106, 418): base welded in place
+        s_new = s_new.replace(pos=s.pos, quat=s.quat,
+                              w=jnp.zeros_like(s.w), v=jnp.zeros_like(s.v))
     return BRobot(
-        s=s_new, q_prev=s.q, qd_prev=s.qd,
-        last_action=rb.last_action, tau=tau, contact=contact,
+        s=s_new, last_action=rb.last_action, tau=tau, contact=contact,
         q_obs_hist=rb.q_obs_hist, qd_obs_hist=rb.qd_obs_hist)
 
 
 def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
-                 cfg: SimConfig, h_fn, torque_mode: bool = False) -> BRobot:
+                 cfg: SimConfig, h_fn, torque_mode: bool = False,
+                 qd_ref: jnp.ndarray | None = None,
+                 tau_ff: jnp.ndarray | None = None) -> BRobot:
     """One control step (= action_repeat substeps with lerp interpolation;
-    minitaur.Step:248-258 + ProcessAction:1384-1401), batched."""
+    minitaur.Step:248-258 + ProcessAction:1384-1401), batched.
+
+    `qd_ref`/`tau_ff` (12,B) enable the HYBRID motor law (held constant
+    across the repeat window; only the position target is interpolated)."""
     prev = rb.last_action
     n = cfg.action_repeat
     inertias = build_inertias(p)
@@ -641,7 +666,8 @@ def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
             cmd = prev + t * (action - prev)
         else:
             cmd = action
-        rb_ = substep(rb_, cmd, p, cfg, h_fn, torque_mode, inertias)
+        rb_ = substep(rb_, cmd, p, cfg, h_fn, torque_mode, inertias,
+                      qd_ref=qd_ref, tau_ff=tau_ff)
         return rb_, None
 
     rb, _ = jax.lax.scan(body, rb, jnp.arange(n, dtype=F32))
@@ -683,7 +709,6 @@ def init_robot(B: int, height, q0=None) -> BRobot:
         knee_contact=jnp.zeros((4, B), bool),
         base_contact=jnp.zeros((B,), bool))
     hist = jnp.broadcast_to(q[None], (OBS_HIST_LEN, 12, B))
-    return BRobot(s=s, q_prev=q, qd_prev=jnp.zeros((12, B), F32),
-                  last_action=q, tau=jnp.zeros((12, B), F32),
+    return BRobot(s=s, last_action=q, tau=jnp.zeros((12, B), F32),
                   contact=contact, q_obs_hist=hist,
                   qd_obs_hist=jnp.zeros((OBS_HIST_LEN, 12, B), F32))

@@ -90,7 +90,32 @@ class ETGRLTrainer:
         self.cfg = config
         self.B = num_envs or config.train.num_envs
         self.env = BatchedQuadrupedEnv(config, self.B)
-        self.sac = SAC(self.env.obs_dim, 12, config.sac)
+        # Temporal observation modes (SENSOR_MODE['RNN'], train.py:273-277):
+        # 'stack' flattens a (T+1)-frame history for the MLP policy;
+        # 'GRU' keeps the same stacked storage but encodes it with a
+        # recurrent actor. Anything else than None must not be ignored.
+        actor = None
+        rnn_mode = config.sensors.rnn_mode
+        if rnn_mode not in ("None", "none", "", None):
+            if rnn_mode not in ("stack", "GRU"):
+                raise ValueError(f"unknown RNN_mode {rnn_mode!r} "
+                                 "(expected None|stack|GRU)")
+            from paddlerobotics_tpu.envs.wrappers import ObsHistoryWrapper
+
+            base_dim = self.env.obs_dim
+            self.env = ObsHistoryWrapper(
+                self.env, time_steps=config.sensors.rnn_time_steps,
+                time_interval=config.sensors.rnn_time_interval,
+                mode="stack")
+            if rnn_mode == "GRU":
+                from paddlerobotics_tpu.algos.networks import GRUActor
+
+                actor = GRUActor(
+                    self.env.action_dim, hidden=config.sac.hidden_dim,
+                    seq_len=config.sensors.rnn_time_steps + 1,
+                    frame_dim=base_dim)
+        self.sac = SAC(self.env.obs_dim, self.env.action_dim, config.sac,
+                       actor=actor)
         ecfg = config.es
         self.solver = _build_solver(ecfg)
         self.updates_per_step = updates_per_step
@@ -98,6 +123,7 @@ class ETGRLTrainer:
         self._restore_from = None
         self.logger = metrics_mod.MetricsLogger(outdir, use_tensorboard)
         self.act_bound = jnp.asarray(self.env.act_bound)
+        self.act_offset = jnp.asarray(self.env.act_offset)
 
         self._prior_points = jnp.asarray(etg_fit.prior_points(config.etg))
         w0, b0 = etg_fit.opt_with_points(config.etg)
@@ -127,6 +153,14 @@ class ETGRLTrainer:
         return etg_fit.batched_opt_with_points(
             self.cfg.etg, pts, self._w0, self._b0)
 
+    def _set_etg(self, env_state, w_env, b_env):
+        """Swap the carried ETG readout, looking through the (optional)
+        observation-history wrapper state."""
+        if hasattr(env_state, "env_state"):      # ObsHistoryState
+            inner = env_state.env_state.replace(etg_w=w_env, etg_b=b_env)
+            return env_state._replace(env_state=inner)
+        return env_state.replace(etg_w=w_env, etg_b=b_env)
+
     def _broadcast_etg(self, w, b):
         """(3,H)/(3,) → batch-minor (3,H,B)/(3,B)."""
         B = self.B
@@ -146,10 +180,12 @@ class ETGRLTrainer:
                                            k_act)
                 else:
                     action = jax.random.uniform(
-                        k_act, (self.B, 12), minval=-1.0, maxval=1.0)
-                donef = (c.env_state.step_idx + 1) > e_step
+                        k_act, (self.B, self.env.action_dim), minval=-1.0,
+                        maxval=1.0)
+                es_ = getattr(c.env_state, "env_state", c.env_state)
+                donef = (es_.step_idx + 1) > e_step
                 nstate, nobs, rew, done, info = env.step(
-                    c.env_state, action * self.act_bound, donef)
+                    c.env_state, action * self.act_bound + self.act_offset, donef)
                 terminal = 1.0 - done.astype(jnp.float32)  # train.py:148-149
                 buf = replay.add_batch(c.buffer, c.obs, action, rew, nobs,
                                        terminal)
@@ -204,7 +240,7 @@ class ETGRLTrainer:
             state, obs, ret, alive, steps, buf = c
             action = self.sac.predict(actor_params, obs)
             nstate, nobs, rew, done, info = self.env.step(
-                state, action * self.act_bound, autoreset=False)
+                state, action * self.act_bound + self.act_offset, autoreset=False)
             if buf is not None:
                 buf = replay.add_batch(
                     buf, obs[sub], action[sub], rew[sub], nobs[sub],
@@ -236,7 +272,7 @@ class ETGRLTrainer:
             state, obs, ret, alive, steps, infos = c
             action = self.sac.predict(actor_params, obs)
             nstate, nobs, rew, done, info = self.env.step(
-                state, action * self.act_bound, autoreset=False)
+                state, action * self.act_bound + self.act_offset, autoreset=False)
             ret = ret + rew * alive
             steps = steps + alive
             infos = {k: infos[k] + jnp.mean(info[k] * alive)
@@ -282,7 +318,8 @@ class ETGRLTrainer:
 
         w_env, b_env = self._broadcast_etg(w, b)
         env_state, obs = jax.jit(self.env.reset)(k_env, w_env, b_env)
-        buf = replay.create(cfg.sac.memory_size, self.env.obs_dim, 12)
+        buf = replay.create(cfg.sac.memory_size, self.env.obs_dim,
+                            self.env.action_dim)
         carry = TrainCarry(env_state, obs, sac_state, buf, rng)
 
         total_steps = 0
@@ -359,8 +396,8 @@ class ETGRLTrainer:
                     es_state = self.solver.reset(es_state, etg_best_param)
                 # refresh env ETG for subsequent SAC rollouts
                 w_env, b_env = self._broadcast_etg(w, b)
-                carry = carry._replace(env_state=carry.env_state.replace(
-                    etg_w=w_env, etg_b=b_env))
+                carry = carry._replace(
+                    env_state=self._set_etg(carry.env_state, w_env, b_env))
                 carry = carry._replace(rng=rng_host)
 
         return carry, (w, b, etg_best_param)

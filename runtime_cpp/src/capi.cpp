@@ -6,6 +6,7 @@
 #include <memory>
 
 #include "serving/pipeline.hpp"
+#include "serving/stream_server.hpp"
 
 using namespace serving;
 
@@ -124,6 +125,26 @@ void pipeline_destroy(void* handle) {
   auto* p = static_cast<GreetingPipeline*>(handle);
   p->Stop();
   delete p;
+}
+
+// --- streaming transport (stream_server.hpp) --------------------------------
+// Start the length-prefixed TCP service on `port` (0 = ephemeral) in
+// front of an existing pipeline; returns an opaque server handle.
+void* server_create(void* pipeline_handle, unsigned short port) {
+  auto* p = static_cast<GreetingPipeline*>(pipeline_handle);
+  auto* s = new StreamServer(*p, {}, port);
+  s->Start();
+  return s;
+}
+
+int server_port(void* server_handle) {
+  return static_cast<StreamServer*>(server_handle)->port();
+}
+
+void server_destroy(void* server_handle) {
+  auto* s = static_cast<StreamServer*>(server_handle);
+  s->Stop();
+  delete s;
 }
 
 }  // extern "C"

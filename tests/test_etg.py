@@ -82,6 +82,52 @@ def test_gait_table_properties(cfg):
     assert max(ac[19], ac[20]) > ac[10] + 0.3
 
 
+GOLDEN_PATH = ("/root/reference/QuadrupedalRobots/ETGRL/"
+               "gait_action_list_ETG_exp.npy")
+
+
+def test_golden_gait_rmse(cfg_unused=None):
+    """Numeric golden-trace parity: reconstruct the reference's shipped
+    (600,12) gait within tight RMSE.
+
+    The golden npy records info["ETG_act"] of a 600-step rollout with the
+    (unshipped) ESStair_origin ETG params (env_test.py:51-58). We recover
+    the linear readout (w, b) from the golden's foot-space curve by least
+    squares on OUR basis, then regenerate the full table through OUR
+    oscillator → trot pairing → stance offsets → IK pipeline. A tight
+    joint-space RMSE therefore pins: the RBF basis definition, the
+    diagonal-pair half-period phase structure, the per-leg stance
+    constants, the leg ordering/signs, and the IK — everything except the
+    (unknowable) ES-optimized control points themselves, which the fitted
+    (w, b) stands in for.
+    """
+    from paddlerobotics_tpu.sim import a1_model as a1
+
+    # the golden was recorded at step_y = 0.05 (env_test.py default) —
+    # exactly the recovered stance; our config default is wider (+4 cm,
+    # documented physics-stability deviation)
+    cfg = ETGConfig(step_y=0.05)
+    golden = np.load(GOLDEN_PATH)                       # (600, 12) deltas
+    q = golden + a1.INIT_MOTOR_ANGLES                   # absolute angles
+    # forward kinematics of leg FR (phase group A) → foot-space curve
+    feet = np.asarray(jax.vmap(
+        lambda qr: a1.foot_positions_in_base_frame(qr))(jnp.asarray(q)))
+    delta = feet - etg_model.default_foot_positions()[None]
+    xa, za = delta[:, 0, 0], delta[:, 0, 2]
+    # stance-x offset of leg FR is 0 by definition; recover (w, b) jointly
+    ts = np.arange(600) * cfg.dt
+    V = np.asarray(oscillator.update(jnp.asarray(ts), cfg))
+    A = np.concatenate([V, np.ones((600, 1))], axis=1)
+    solx = np.linalg.lstsq(A, xa, rcond=None)[0]
+    solz = np.linalg.lstsq(A, za, rcond=None)[0]
+    w = jnp.asarray(np.stack([solx[:-1], np.zeros(cfg.H), solz[:-1]]))
+    b = jnp.asarray(np.array([solx[-1], 0.0, solz[-1]]))
+    table = np.asarray(etg_model.gait_table(w, b, cfg, 600))
+    rmse = np.sqrt(((table - golden) ** 2).mean())
+    assert rmse < 1e-4, rmse
+    assert np.abs(table - golden).max() < 1e-3
+
+
 def test_phase_tables_shift(cfg):
     va, vb = etg_model.phase_tables(cfg, 100)
     # vb is va shifted by half a period

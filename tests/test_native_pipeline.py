@@ -51,3 +51,46 @@ def test_native_pipeline_roundtrip():
         assert calls["attend"] >= 1
     finally:
         pipe.close()
+
+
+def test_stream_transport_full_loop():
+    """Python model callbacks → C++ pipeline → native streaming server →
+    Python client: the complete serving loop across the language
+    boundary (the socket stand-in for ProactiveGreeting.infer)."""
+    from paddlerobotics_tpu.hri.native_pipeline import NativePipeline
+    from paddlerobotics_tpu.hri.stream_client import GreetingStreamClient
+
+    def detect(img):
+        boxes = np.array([[100, 20, 200, 380]], np.float32)
+        return (boxes, np.array([0.9], np.float32),
+                np.ones((1, 562), np.float32), np.array([1], np.int32))
+
+    def attend(tokens, valid):
+        return 0.95, np.array([0.8], np.float32), 2
+
+    pipe = NativePipeline(detect, attend, trigger_threshold=0.8,
+                          near_field_frac=0.1, cooldown_s=0.0)
+    client = None
+    try:
+        port = pipe.serve(0)
+        assert port > 0
+        client = GreetingStreamClient(port=port)
+        img = np.zeros((416, 416, 3), np.float32)
+        for i in range(12):
+            client.send_frame(i, img, lag_ms=20,
+                              wakeup="hi" if i == 0 else "")
+            time.sleep(0.01)
+        resp = client.read_response()
+        assert "triggered" in resp
+        # the stub always fires above threshold → some response in the
+        # stream is a trigger
+        for _ in range(20):
+            if resp.get("triggered"):
+                break
+            resp = client.read_response()
+        assert resp["triggered"] is True
+        assert resp["action_id"] == 2
+    finally:
+        if client is not None:
+            client.close()
+        pipe.close()

@@ -33,7 +33,7 @@ def aos_to_soa(rb: robot.RobotState, B: int) -> sbatch.BRobot:
         base_contact=jnp.zeros((B,), bool))
     hist = jnp.broadcast_to(s.q[None], (sbatch.OBS_HIST_LEN, 12, B))
     return sbatch.BRobot(
-        s=s, q_prev=s.q, qd_prev=s.qd, last_action=s.q,
+        s=s, last_action=s.q,
         tau=jnp.zeros((12, B)), contact=contact,
         q_obs_hist=hist, qd_obs_hist=jnp.zeros_like(hist))
 

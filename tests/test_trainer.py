@@ -106,3 +106,34 @@ def test_checkpoint_restore_roundtrip(tiny_cfg, tmp_path):
     assert a_restored.shape == a_fresh.shape
     assert np.isfinite(np.asarray(a_restored)).all()
     assert checkpoints.latest_step(str(tmp_path / "a")) == 500
+
+
+@pytest.mark.parametrize("mode", ["stack", "GRU"])
+def test_rnn_mode_wired(tiny_cfg, tmp_path, mode):
+    """--RNN_mode must change the policy input, not be silently ignored
+    (SENSOR_MODE['RNN'], train.py:273-277)."""
+    from paddlerobotics_tpu.core.config import SensorConfig
+
+    cfg = dataclasses.replace(
+        tiny_cfg, sensors=SensorConfig(rnn_time_steps=3,
+                                       rnn_time_interval=1, rnn_mode=mode))
+    trainer = ETGRLTrainer(cfg, num_envs=8, outdir=str(tmp_path / mode))
+    assert trainer.env.obs_dim == 49 * 4
+    assert trainer.sac.obs_dim == 49 * 4
+    if mode == "GRU":
+        from paddlerobotics_tpu.algos.networks import GRUActor
+        assert isinstance(trainer.sac.actor, GRUActor)
+    carry, _ = trainer.train(max_steps=240, chunk_steps=10,
+                             checkpoint=False)
+    assert int(carry.buffer.size) > 0
+    q = np.asarray(jax.tree.leaves(carry.sac_state.actor_params)[0])
+    assert np.all(np.isfinite(q))
+
+
+def test_rnn_mode_unknown_raises(tiny_cfg):
+    from paddlerobotics_tpu.core.config import SensorConfig
+
+    cfg = dataclasses.replace(
+        tiny_cfg, sensors=SensorConfig(rnn_time_steps=3, rnn_mode="bogus"))
+    with pytest.raises(ValueError):
+        ETGRLTrainer(cfg, num_envs=8, outdir="/tmp/etg_bogus")
