@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=1,
                    help="VMEM physics megakernel (TPU only; ~4x)")
+    p.add_argument("--dynamics_scale", type=float, default=1.0,
+                   help="scale on the normalized DR sample (1.0 = full "
+                        "reference ranges)")
+    p.add_argument("--dr_scale_start", type=float, default=0.2)
+    p.add_argument("--dr_curriculum_steps", type=int, default=0,
+                   help="anneal DR scale from dr_scale_start to "
+                        "dynamics_scale over this many env steps "
+                        "(0 = constant)")
     p.add_argument("--terrain_start", type=float, default=0.5,
                    help="flat run-in before the terrain feature (m)")
     p.add_argument("--step_height", type=float, default=0.08)
@@ -115,7 +123,10 @@ def config_from_args(args) -> QuadrupedConfig:
             vel_d=args.vel_d),
         random=RandomConfig(
             random_dynamics=bool(args.random_dynamic),
-            random_force=bool(args.random_force)),
+            random_force=bool(args.random_force),
+            dynamics_scale=args.dynamics_scale,
+            dr_scale_start=args.dr_scale_start,
+            dr_curriculum_steps=args.dr_curriculum_steps),
         etg=ETGConfig(T=args.ETG_T, T2=args.ETG_T2, H=args.ETG_H,
                       steplen=args.steplen, footheight=args.footheight,
                       step_y=args.step_y),

@@ -121,6 +121,12 @@ class RandomConfig:
     # Scale on the normalized [-1,1] dynamics sample before param2dynamic
     # (1.0 = the reference's full ranges; smaller = curriculum-mild DR).
     dynamics_scale: float = 1.0
+    # DR curriculum: anneal the scale from dr_scale_start to
+    # dynamics_scale over dr_curriculum_steps env steps (0 = no
+    # curriculum, constant dynamics_scale). The scale is a traced value
+    # in BEnvState — annealing never recompiles.
+    dr_scale_start: float = 0.2
+    dr_curriculum_steps: int = 0
     # Ranges (low, high) for randomized physical params; the param2dynamic
     # mapping in envs/randomize.py converts [-1,1]^48 into these.
     latency_range: Tuple[float, float] = (0.0, 0.08)   # seconds

@@ -52,6 +52,9 @@ class BEnvState:
     push_salt: jnp.ndarray  # () int32 seed for burst-indexed random pushes
     oh_counter: jnp.ndarray  # (12,B) consecutive over-torque control steps
     motor_on: jnp.ndarray    # (12,B) bool, overheat latch (False = off)
+    dr_scale: jnp.ndarray    # () DR curriculum scale on the normalized
+                             # dynamics sample (traced — the trainer can
+                             # anneal it without recompiling)
 
 
 def _soa_ik(fx, fy, fz):
@@ -192,16 +195,19 @@ class BatchedQuadrupedEnv:
     def reset(self, rng: jax.Array,
               etg_w: Optional[jnp.ndarray] = None,
               etg_b: Optional[jnp.ndarray] = None,
-              dyn: Optional[BDynParams] = None
+              dyn: Optional[BDynParams] = None,
+              dr_scale: jnp.ndarray | float | None = None
               ) -> Tuple[BEnvState, jnp.ndarray]:
         if etg_w is None or etg_b is None:
             etg_w, etg_b = self.default_etg()
+        if dr_scale is None:
+            dr_scale = self.cfg.random.dynamics_scale
+        dr_scale = jnp.asarray(dr_scale, F32)
         if dyn is None:
             if self.cfg.random.random_dynamics:
                 keys = jax.random.split(rng, self.B)
-                sc = self.cfg.random.dynamics_scale
                 dp = jax.vmap(lambda k: randomize.sample_dynamics(
-                    k, scale=sc))(keys)
+                    k, scale=dr_scale))(keys)
                 dyn = BDynParams.from_leading(dp)
             else:
                 dyn = BDynParams.default(self.B)
@@ -222,7 +228,8 @@ class BatchedQuadrupedEnv:
                 jax.random.fold_in(rng, jnp.asarray(5, jnp.uint32)),
                 (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
             oh_counter=jnp.zeros((12, self.B), F32),
-            motor_on=jnp.ones((12, self.B), bool))
+            motor_on=jnp.ones((12, self.B), bool),
+            dr_scale=dr_scale)
         etg_act, _, _, v_a = self._etg_residual(etg_w, etg_b, state.step_idx)
         return state, self._observe(state, etg_act, v_a)
 
@@ -435,7 +442,8 @@ class BatchedQuadrupedEnv:
             step_idx=state.step_idx + 1, rng=rng,
             last_x=s.pos[0], done=done, filter_z=filter_z,
             push_salt=state.push_salt,
-            oh_counter=oh_counter, motor_on=motor_on)
+            oh_counter=oh_counter, motor_on=motor_on,
+            dr_scale=state.dr_scale)
 
         if autoreset:
             fresh = self._fresh_robot()
@@ -462,9 +470,8 @@ class BatchedQuadrupedEnv:
                 kd = jax.random.split(
                     jax.random.fold_in(rng, jnp.asarray(23, jnp.uint32)),
                     B)
-                sc = cfg.random.dynamics_scale
                 dp = jax.vmap(lambda k: randomize.sample_dynamics(
-                    k, scale=sc))(kd)
+                    k, scale=state.dr_scale))(kd)
                 fresh_dyn = BDynParams.from_leading(dp)._replace(
                     external_force=jnp.zeros((3, B), F32))
                 dyn_next = jax.tree.map(sel_b_last, fresh_dyn, dyn_next)

@@ -161,6 +161,14 @@ class ETGRLTrainer:
             return env_state._replace(env_state=inner)
         return env_state.replace(etg_w=w_env, etg_b=b_env)
 
+    def _set_dr_scale(self, env_state, scale: float):
+        """Anneal the DR curriculum scale (traced BEnvState field)."""
+        inner = getattr(env_state, "env_state", env_state)
+        inner = inner.replace(dr_scale=jnp.asarray(scale, jnp.float32))
+        if hasattr(env_state, "env_state"):
+            return env_state._replace(env_state=inner)
+        return inner
+
     def _broadcast_etg(self, w, b):
         """(3,H)/(3,) → batch-minor (3,H,B)/(3,B)."""
         B = self.B
@@ -328,8 +336,22 @@ class ETGRLTrainer:
         es_flag = 0
         es_gen = 0
 
+        rcfg = cfg.random
+        dr_curr = rcfg.random_dynamics and rcfg.dr_curriculum_steps > 0
+        if dr_curr:
+            carry = carry._replace(env_state=self._set_dr_scale(
+                carry.env_state, rcfg.dr_scale_start))
+
         while total_steps < max_steps:
             warm = total_steps >= cfg.sac.warmup_steps
+            if dr_curr:
+                frac = min(1.0, total_steps / rcfg.dr_curriculum_steps)
+                scale = rcfg.dr_scale_start + frac * (
+                    rcfg.dynamics_scale - rcfg.dr_scale_start)
+                carry = carry._replace(env_state=self._set_dr_scale(
+                    carry.env_state, scale))
+                self.logger.add_scalar("train/dr_scale", scale,
+                                       total_steps)
             carry, out = self.rollout_chunk(carry, e_step, chunk_steps, warm)
             total_steps += chunk_steps * self.B
             self.logger.add_scalar("train/episode_reward",
