@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--use_pallas_attention", type=int, default=0)
     p.add_argument("--distributed", type=int, default=0,
                    help="shard batches over the device mesh")
+    p.add_argument("--init_params", type=str, default="",
+                   help="checkpoint dir (itr_N) to resume from — the "
+                   "reference's --init_params + tb_state counter "
+                   "(train_attention_controller.py:417-437)")
     return p
 
 
@@ -62,6 +66,14 @@ def main(argv=None):
     trainer = AttentionTrainer(cfg, lr=args.lr, weight_decay=args.l2,
                                mesh=mesh)
     state = trainer.init(jax.random.key(0))
+    if args.init_params:
+        restored = checkpoints.restore(args.init_params, {
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step})
+        state = type(state)(restored["params"], restored["opt_state"],
+                            jnp.asarray(restored["step"]))
+        print(f"resumed from {args.init_params} at step "
+              f"{int(state.step)}")
     logger = m.MetricsLogger(args.outdir, use_tensorboard=False)
 
     T = cfg.num_frames * cfg.tokens_per_frame
@@ -91,7 +103,7 @@ def main(argv=None):
             yield {k: jnp.asarray(np.stack([a[k] for a in arrs]))
                    for k in arrs[0].files}
 
-    step = 0
+    step = int(state.step)
     for epoch in range(args.epochs):
         batches = ([synthetic_batch() for _ in range(args.synthetic)]
                    if args.synthetic else npz_batches())
@@ -104,7 +116,9 @@ def main(argv=None):
                 logger.add_scalar("train/loss", float(aux["loss"]), step)
                 logger.add_scalar("train/trigger_loss",
                                   float(aux["trigger_loss"]), step)
-        checkpoints.save(args.outdir, {"params": state.params}, step)
+        checkpoints.save(args.outdir, {
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step}, step)
         print(f"epoch {epoch} loss {float(aux['loss']):.4f}")
 
 

@@ -155,10 +155,24 @@ class SimConfig:
     friction_coef: float = 0.6
     # Friction regularization velocity scale (m/s): the Coulomb force
     # ramps in over ~this much slip. 0.25 (round 1) lets a narrow-stance
-    # robot skate sideways where PyBullet's stiction would hold — 0.08
+    # robot skate sideways where PyBullet's stiction would hold; 0.08
     # restores enough lateral stiction for the reference's (golden-trace)
-    # stance to climb stairs, while staying stable at the 2.6 ms substep.
+    # stance to climb stairs. At 0.08 the near-zero-slip viscous slope
+    # μ·fn/vs (≈225 N/(m/s) per standing foot) exceeds the explicit
+    # substep's stability limit 2m/dt — the tangential force is therefore
+    # impulse-capped per point (see friction_point_mass) so stiction
+    # cannot ring.
     friction_vel_scale: float = 0.08
+    # Per-contact-point effective masses (kg) for the tangential impulse
+    # cap |F_t| ≤ m_eff·|v_t|/dt (friction may at most arrest the point
+    # within one substep — the explicit-integrator analogue of an LCP
+    # stiction constraint): foot≈calf+foot, knee≈calf, base≈trunk.
+    # (0.25 is marginal — the calf mode still rings at 1.8 rad/s; ≤0.15
+    # settles a standing robot to qd = 0 exactly. 0.1 ≈ the foot+calf
+    # mass reflected at the foot.)
+    friction_cap_mass_foot: float = 0.1
+    friction_cap_mass_knee: float = 0.15
+    friction_cap_mass_base: float = 4.0
     # PD motor defaults (a1.py:75-80: kp 100, kd [1,2,2]).
     motor_kp: float = 100.0
     motor_kd: Tuple[float, float, float] = (1.0, 2.0, 2.0)

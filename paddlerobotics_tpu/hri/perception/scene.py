@@ -55,14 +55,18 @@ class SceneSensor:
         img = jnp.zeros((1, self.input_size, self.input_size, 3))
         return self.model.init(rng, img)
 
+    def _forward(self, params, images):
+        """(params, images) → (boxes (B,N,4), scores (B,N,C), fm)."""
+        preds, fm = self.model.apply(params, images, mutable=False)
+        boxes, scores = yolo.decode_predictions(
+            preds, self.anchors, self.num_classes, self.input_size)
+        return boxes, scores, fm
+
     def get_instances_with_feats(self, params, images: jnp.ndarray,
                                  score_threshold: float = 0.25,
                                  person_only: bool = True) -> Instances:
         """images (B,S,S,3) in [0,1] → Instances with (B,K,...) leaves."""
-        preds, fm = self.model.apply(params, images,
-                                     mutable=False)
-        boxes, scores = yolo.decode_predictions(
-            preds, self.anchors, self.num_classes, self.input_size)
+        boxes, scores, fm = self._forward(params, images)
 
         def per_image(b, s, f):
             if person_only:
@@ -90,9 +94,60 @@ class SceneSensor:
         return jax.vmap(per_image)(boxes, scores, fm)
 
     def get_feature_map(self, params, images):
-        _, fm = self.model.apply(params, images, mutable=False)
+        _, _, fm = self._forward(params, images)
         return fm
 
     def get_instances(self, params, images, **kw):
         inst = self.get_instances_with_feats(params, images, **kw)
         return inst.boxes, inst.scores, inst.valid
+
+
+class DarknetSceneSensor(SceneSensor):
+    """SceneSensor running a cfg-built darknet network, so imported
+    `.weights` (hri/perception/darknet.py, the counterpart of the
+    reference's tools/darknet_to_keras.py conversion chain) drive the
+    SAME detect→RoIAlign→token pipeline as the native flax YOLO.
+
+    `fm_layer` picks which layer output is the RoIAlign feature map
+    (cfg section index); default auto-selects the deepest layer whose
+    channel count is 512 (the reference taps a 512-channel map — token
+    dim 562 = 512 GAP + 50 pos-emb, infer_v3.cpp:578-681).
+    """
+
+    def __init__(self, sections, input_size: int | None = None,
+                 fm_layer: int | None = None):
+        from paddlerobotics_tpu.hri.perception import darknet
+
+        self.sections = sections
+        if input_size is None:                 # [net] width
+            net_opt = dict(sections[0][1]) if sections else {}
+            input_size = int(net_opt.get("width", 416))
+        self.input_size = input_size
+        self.model = darknet.DarknetNet(sections)
+        self.metas = darknet.yolo_meta(sections)
+        self.num_classes = self.metas[0]["classes"] if self.metas else 80
+        self._fm_layer = fm_layer
+
+    def init(self, rng):
+        img = jnp.zeros((1, self.input_size, self.input_size, 3))
+        params = self.model.init(rng, img)
+        if self._fm_layer is None:
+            _, outs = self.model.apply(params, img, mutable=False)
+            picks = [i for i, o in enumerate(outs)
+                     if o.ndim == 4 and o.shape[-1] == 512]
+            self._fm_layer = picks[-1] if picks else len(outs) - 1
+        return params
+
+    def _forward(self, params, images):
+        if self._fm_layer is None:
+            raise RuntimeError("call init() first (fm_layer auto-pick)")
+        yolo_outs, outs = self.model.apply(params, images, mutable=False)
+        all_b, all_s = [], []
+        for p, meta in zip(yolo_outs, self.metas):
+            b, s = yolo.decode_predictions(
+                [p], [meta["anchors"]], meta["classes"],
+                self.input_size, scale_xy=meta["scale_xy"])
+            all_b.append(b)
+            all_s.append(s)
+        return (jnp.concatenate(all_b, axis=1),
+                jnp.concatenate(all_s, axis=1), outs[self._fm_layer])

@@ -43,9 +43,36 @@ class AttentionTrainer:
             optax.adam(lr))
         self.mesh = mesh
 
+    TOKEN_KEYS = ("visual_tokens", "inst_fm", "inst_cls", "inst_pos_emb",
+                  "inst_crop_feat")
+
+    def _tokens(self, batch) -> dict:
+        """Extract the input-variant token tensors from a batch
+        (attention_ctrl.py:86-119 ablation inputs)."""
+        return {k: batch[k] for k in self.TOKEN_KEYS if k in batch}
+
+    def dummy_tokens(self, batch_size: int = 1) -> dict:
+        """Zero tokens matching cfg.inputs_type (for init/templates)."""
+        cfg = self.cfg
+        T = cfg.num_frames * cfg.tokens_per_frame
+        if cfg.inputs_type == "visual_token":
+            return {"visual_tokens":
+                    jnp.zeros((batch_size, T, cfg.visual_token_dim))}
+        toks = {}
+        if cfg.inputs_type != "without_inst_fm":
+            # raw RoIAligned fm channels (512 for the YOLO tap,
+            # infer_v3.cpp:578-681)
+            toks["inst_fm"] = jnp.zeros((batch_size, T, 512, 5, 5))
+        if cfg.inputs_type != "without_inst_cls":
+            toks["inst_cls"] = jnp.zeros((batch_size, T, cfg.inst_cls_dim))
+        if cfg.inputs_type != "without_inst_pos":
+            toks["inst_pos_emb"] = jnp.zeros(
+                (batch_size, T, cfg.inst_pos_dim))
+        return toks
+
     def init(self, rng) -> AttnTrainState:
         T = self.cfg.num_frames * self.cfg.tokens_per_frame
-        tokens = {"visual_tokens": jnp.zeros((1, T, self.cfg.visual_token_dim))}
+        tokens = self.dummy_tokens()
         fids = jnp.ones((1, T), jnp.int32)
         pad = jnp.ones((1, T))
         params = self.model.init(rng, tokens, fids, pad)
@@ -58,7 +85,7 @@ class AttentionTrainer:
         has_act, act_ids, is_obj."""
         def loss_fn(params):
             out = self.model.apply(
-                params, {"visual_tokens": batch["visual_tokens"]},
+                params, self._tokens(batch),
                 batch["frame_ids"], batch["padding_mask"],
                 deterministic=True)
             return controller_loss(self.cfg, out, batch["has_act"],
@@ -75,7 +102,7 @@ class AttentionTrainer:
     @functools.partial(jax.jit, static_argnums=(0,))
     def eval_step(self, state: AttnTrainState, batch):
         out = self.model.apply(
-            state.params, {"visual_tokens": batch["visual_tokens"]},
+            state.params, self._tokens(batch),
             batch["frame_ids"], batch["padding_mask"])
         trigger_pred = jax.nn.sigmoid(out["trigger_logits"])
         # accuracy on the final-frame trigger decision

@@ -22,7 +22,7 @@ from paddlerobotics_tpu.sim import dynamics, terrain
 from paddlerobotics_tpu.sim.dynamics import DynamicsParams
 
 
-def _point_forces(pos, vel, h_fn, radius, k, d, mu, vs):
+def _point_forces(pos, vel, h_fn, radius, k, d, mu, vs, cap=None):
     """Penalty contact force for sphere-tip points.
 
     Args:
@@ -45,7 +45,13 @@ def _point_forces(pos, vel, h_fn, radius, k, d, mu, vs):
 
     vt = vel - vn[..., None] * n
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + vs * vs)
-    f_t = -(mu * f_n_mag / vt_norm)[..., None] * vt
+    coef = mu * f_n_mag / vt_norm
+    if cap is not None:
+        # tangential impulse cap — see sbatch._point_contact: keeps the
+        # near-zero-slip stiction slope below the explicit substep's
+        # stability limit (friction arrests the point, never reverses it)
+        coef = jnp.minimum(coef, cap)
+    f_t = -coef[..., None] * vt
 
     return f_n + f_t, phi, in_contact
 
@@ -62,10 +68,12 @@ def compute_contacts(state: QuadState, poses, h_fn,
     mu = cfg.friction_coef * params.foot_friction
     vs = cfg.friction_vel_scale
 
+    idt = 1.0 / cfg.substep_dt
     foot_pos = poses["o_foot"]
     foot_vel = dynamics.foot_world_velocities(state, poses)
     foot_f, foot_phi, foot_contact = _point_forces(
-        foot_pos, foot_vel, h_fn, a1.FOOT_RADIUS, k, d, mu, vs)
+        foot_pos, foot_vel, h_fn, a1.FOOT_RADIUS, k, d, mu, vs,
+        cap=cfg.friction_cap_mass_foot * idt)
 
     # Knee (calf origin) contact: normal penalty only, lower stiffness.
     # Approximates knee-link collisions that PyBullet reports as
@@ -76,12 +84,14 @@ def compute_contacts(state: QuadState, poses, h_fn,
     v_w = R_b @ state.base_lin_vel
     knee_vel = v_w + jnp.cross(w_w, knee_pos - state.base_pos)
     knee_f, knee_phi, _ = _point_forces(
-        knee_pos, knee_vel, h_fn, 0.02, 0.5 * k, 0.5 * d, mu, vs)
+        knee_pos, knee_vel, h_fn, 0.02, 0.5 * k, 0.5 * d, mu, vs,
+        cap=cfg.friction_cap_mass_knee * idt)
 
     # Trunk underside contact (single point under the base origin).
     base_low = state.base_pos - jnp.array([0.0, 0.0, dynamics.TRUNK_HALF_HEIGHT])
     base_f, base_phi, _ = _point_forces(
-        base_low[None, :], v_w[None, :], h_fn, 0.0, k, d, mu, vs)
+        base_low[None, :], v_w[None, :], h_fn, 0.0, k, d, mu, vs,
+        cap=cfg.friction_cap_mass_base * idt)
     base_f = base_f[0]
     base_phi = base_phi[0]
 

@@ -485,7 +485,8 @@ def forward_dynamics(s: BQuadState, tau: jnp.ndarray,
 
 # --- contact (SoA port of sim/contact.py) ------------------------------------
 
-def _point_contact(px, py, pz, vx, vy, vz, h_fn, radius, k, d, mu, vs):
+def _point_contact(px, py, pz, vx, vy, vz, h_fn, radius, k, d, mu, vs,
+                   cap=None):
     """Penalty normal + regularized Coulomb friction at sphere-tip points.
 
     Flat-normal approximation with finite-difference terrain normal;
@@ -513,7 +514,15 @@ def _point_contact(px, py, pz, vx, vy, vz, h_fn, radius, k, d, mu, vs):
 
     vtx, vty, vtz = vx - vn * nx, vy - vn * ny, vz - vn * nz
     inv_vt = jax.lax.rsqrt(vtx * vtx + vty * vty + vtz * vtz + vs * vs)
-    ft = -mu * fn_mag * inv_vt
+    coef = mu * fn_mag * inv_vt          # N per (m/s) of slip
+    if cap is not None:
+        # Tangential impulse cap: a small vs makes the near-zero-slip
+        # viscous slope μ·fn/vs exceed the explicit substep's stability
+        # limit 2m/dt, ringing a standing foot forever. Friction may at
+        # most arrest the point within one substep (coef ≤ m_eff/dt) —
+        # the penalty analogue of the LCP stiction constraint.
+        coef = jnp.minimum(coef, cap)
+    ft = -coef
     fx = fn_mag * nx + ft * vtx
     fy = fn_mag * ny + ft * vty
     fz = fn_mag * nz + ft * vtz
@@ -540,20 +549,24 @@ def compute_contacts(s: BQuadState, poses, vels, h_fn, p: BDynParams,
     of, oc = poses["of"], poses["oc"]
     vf = point_vel_from_spatial(poses["Rc"], vels["w3"], vels["u3"], _FOOT_R)
 
+    idt = 1.0 / cfg.substep_dt
     ffx, ffy, ffz, fphi, fcon = _point_contact(
         of[0], of[1], of[2], vf[0], vf[1], vf[2], h_fn,
-        a1.FOOT_RADIUS, k, d, mu, vs)
+        a1.FOOT_RADIUS, k, d, mu, vs,
+        cap=cfg.friction_cap_mass_foot * idt)
 
     relk = sa.vsub(oc, poses["pos"])
     vk = sa.vadd(vW, sa.cross(wW, relk))
     kfx, kfy, kfz, kphi, _ = _point_contact(
         oc[0], oc[1], oc[2], vk[0], vk[1], vk[2], h_fn,
-        0.02, 0.5 * k, 0.5 * d, mu, vs)
+        0.02, 0.5 * k, 0.5 * d, mu, vs,
+        cap=cfg.friction_cap_mass_knee * idt)
 
     bx, by = poses["pos"][0], poses["pos"][1]
     bz = poses["pos"][2] - dyn.TRUNK_HALF_HEIGHT
     bfx, bfy, bfz, bphi, _ = _point_contact(
-        bx, by, bz, vW[0], vW[1], vW[2], h_fn, 0.0, k, d, mu, vs)
+        bx, by, bz, vW[0], vW[1], vW[2], h_fn, 0.0, k, d, mu, vs,
+        cap=cfg.friction_cap_mass_base * idt)
 
     contact = BContact(
         foot_pos=jnp.stack([jnp.broadcast_to(of[i], of[2].shape)

@@ -201,10 +201,20 @@ class ETGRLTrainer:
                 losses = {"critic_loss": jnp.zeros(()),
                           "actor_loss": jnp.zeros(())}
                 if warm:
-                    for i in range(self.updates_per_step):
-                        k_learn, k_b, k_u = jax.random.split(k_learn, 3)
+                    # K gradient updates per batched env step as a scan —
+                    # compile time stays flat in K, so high update:data
+                    # ratios (the reference does 1 update per SINGLE-env
+                    # step, train.py:163-167) are reachable. See
+                    # docs/update_schedule.md for the sweep.
+                    def upd(st, k):
+                        k_b, k_u = jax.random.split(k)
                         batch = replay.sample(buf, k_b, cfg.sac.batch_size)
-                        sac_state, losses = sac.learn(sac_state, batch, k_u)
+                        return sac.learn(st, batch, k_u)
+
+                    sac_state, losses_seq = jax.lax.scan(
+                        upd, sac_state,
+                        jax.random.split(k_learn, self.updates_per_step))
+                    losses = jax.tree.map(jnp.mean, losses_seq)
                 out = {"reward": jnp.mean(rew),
                        "done_frac": jnp.mean(done.astype(jnp.float32)),
                        **{k: jnp.mean(info[k]) for k in INFO_CHANNELS},
