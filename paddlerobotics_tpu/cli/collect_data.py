@@ -93,6 +93,13 @@ def main(argv=None):
     tasks = [v for i, v in enumerate(videos)
              if i % args.workers == args.current_worker - 1]
     resume = args.resume
+    if resume is not None and resume not in [
+            os.path.basename(v)[:-len(".mp4")] for v in tasks]:
+        raise SystemExit(
+            f"--resume {resume!r} is not in worker "
+            f"{args.current_worker}/{args.workers}'s shard — nothing "
+            f"would run (shard tasks: "
+            f"{[os.path.basename(v) for v in tasks][:5]}…)")
 
     for video_file in tasks:
         task_id = os.path.basename(video_file)[:-len(".mp4")]

@@ -57,9 +57,14 @@ def main(argv=None):
     from paddlerobotics_tpu.hri.train_attention import AttentionTrainer
 
     tmpl_state = AttentionTrainer(cfg).init(jax.random.key(0))
-    restored = checkpoints.restore(args.ckpt, {
-        "params": tmpl_state.params, "opt_state": tmpl_state.opt_state,
-        "step": tmpl_state.step})
+    try:
+        restored = checkpoints.restore(args.ckpt, {
+            "params": tmpl_state.params,
+            "opt_state": tmpl_state.opt_state, "step": tmpl_state.step})
+    except Exception:
+        # legacy params-only checkpoint (pre opt_state/step format)
+        restored = checkpoints.restore(args.ckpt,
+                                       {"params": tmpl_state.params})
     ctrl_params = restored["params"]
 
     scene_params = None

@@ -79,52 +79,52 @@ def main(argv=None):
         fleet.append((name, cfg, trainer, state, dev,
                       m.MetricsLogger(outdir, use_tensorboard=False)))
 
-    T = args.num_frames * args.tokens_per_frame
+    from paddlerobotics_tpu.hri.train_attention import synthetic_batch
+
     rng = np.random.RandomState(0)
 
-    def synthetic_batch(cfg):
-        """Variant-shaped batch (attention_ctrl input ablations)."""
-        B = args.batch_size
-        base = {
-            "frame_ids": jnp.tile(jnp.repeat(
-                jnp.arange(1, cfg.num_frames + 1), cfg.tokens_per_frame),
-                (B, 1)),
-            "padding_mask": jnp.ones((B, T)),
-            "has_act": jnp.asarray(rng.rand(B, cfg.num_frames) > 0.5,
-                                   jnp.float32),
-            "act_ids": jnp.asarray(
-                rng.randint(0, cfg.num_actions, (B, cfg.num_frames))),
-            "is_obj": jnp.asarray(rng.rand(B, T) > 0.8, jnp.float32),
-        }
-        if cfg.inputs_type == "visual_token":
-            base["visual_tokens"] = jnp.asarray(
-                rng.randn(B, T, cfg.visual_token_dim), jnp.float32)
-        else:
-            if cfg.inputs_type != "without_inst_fm":
-                base["inst_fm"] = jnp.asarray(
-                    rng.randn(B, T, 512, 5, 5), jnp.float32)
-            if cfg.inputs_type != "without_inst_cls":
-                base["inst_cls"] = jnp.asarray(
-                    rng.randn(B, T, cfg.inst_cls_dim), jnp.float32)
-            if cfg.inputs_type != "without_inst_pos":
-                base["inst_pos_emb"] = jnp.asarray(
-                    rng.randn(B, T, cfg.inst_pos_dim), jnp.float32)
-        return base
+    def npz_batches():
+        """Shared real-data stream (the reference's one decord reader
+        feeding every variant's queue, parallel_train_attn.py:353-380):
+        each .npz window file carries ALL token keys; _tokens() selects
+        per variant."""
+        import glob
+
+        files = sorted(glob.glob(os.path.join(args.data_dir, "*.npz")))
+        for i in range(0, len(files) - args.batch_size + 1,
+                       args.batch_size):
+            arrs = [np.load(f) for f in files[i:i + args.batch_size]]
+            yield {k: jnp.asarray(np.stack([a[k] for a in arrs]))
+                   for k in arrs[0].files}
 
     step = 0
     last_loss = {}
     for epoch in range(args.epochs):
-        for _ in range(max(args.synthetic, 1)):
+        if args.data_dir:
+            batches = npz_batches()
+        else:
+            batches = (synthetic_batch(fleet[0][1], rng, args.batch_size)
+                       for _ in range(max(args.synthetic, 1)))
+        for shared in batches:
             step += 1
-            # interleave: each variant's step dispatches to its device;
-            # dispatch is async so the fleet overlaps across devices
+            # interleave: dispatch every variant's step first (async on
+            # its own device), only then touch the losses — the fleet
+            # overlaps instead of serializing on per-step float()
+            auxes = []
             for i, (name, cfg, trainer, state, dev, logger) in \
                     enumerate(fleet):
-                batch = jax.device_put(synthetic_batch(cfg), dev)
+                if args.data_dir or cfg.inputs_type == \
+                        fleet[0][1].inputs_type:
+                    batch = shared     # _tokens() selects per variant
+                else:
+                    batch = synthetic_batch(cfg, rng, args.batch_size)
+                batch = jax.device_put(batch, dev)
                 state, aux = trainer.train_step(state, batch)
                 fleet[i] = (name, cfg, trainer, state, dev, logger)
-                last_loss[name] = float(aux["loss"])
-                if step % 10 == 0 or args.synthetic:
+                auxes.append((name, logger, aux))
+            if step % 10 == 0 or args.synthetic:
+                for name, logger, aux in auxes:
+                    last_loss[name] = float(aux["loss"])
                     logger.add_scalar("train/loss", last_loss[name],
                                       step)
         for name, cfg, trainer, state, dev, logger in fleet:
@@ -132,7 +132,8 @@ def main(argv=None):
                 "params": state.params, "opt_state": state.opt_state,
                 "step": state.step}, step)
         print(f"epoch {epoch}: " + "  ".join(
-            f"{name}={last_loss[name]:.4f}" for name, *_ in fleet))
+            f"{name}={last_loss.get(name, float('nan')):.4f}"
+            for name, *_ in fleet))
 
 
 if __name__ == "__main__":

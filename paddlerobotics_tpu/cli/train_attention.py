@@ -76,24 +76,13 @@ def main(argv=None):
               f"{int(state.step)}")
     logger = m.MetricsLogger(args.outdir, use_tensorboard=False)
 
-    T = cfg.num_frames * cfg.tokens_per_frame
+    from paddlerobotics_tpu.hri.train_attention import \
+        synthetic_batch as make_synth
+
     rng = np.random.RandomState(0)
 
     def synthetic_batch():
-        B = args.batch_size
-        return {
-            "visual_tokens": jnp.asarray(
-                rng.randn(B, T, cfg.visual_token_dim), jnp.float32),
-            "frame_ids": jnp.tile(jnp.repeat(
-                jnp.arange(1, cfg.num_frames + 1), cfg.tokens_per_frame),
-                (B, 1)),
-            "padding_mask": jnp.ones((B, T)),
-            "has_act": jnp.asarray(rng.rand(B, cfg.num_frames) > 0.5,
-                                   jnp.float32),
-            "act_ids": jnp.asarray(
-                rng.randint(0, cfg.num_actions, (B, cfg.num_frames))),
-            "is_obj": jnp.asarray(rng.rand(B, T) > 0.8, jnp.float32),
-        }
+        return make_synth(cfg, rng, args.batch_size)
 
     def npz_batches():
         files = sorted(glob.glob(os.path.join(args.data_dir, "*.npz")))

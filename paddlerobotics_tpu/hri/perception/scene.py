@@ -75,9 +75,9 @@ class SceneSensor:
             else:
                 cls_score = jnp.max(s, axis=-1)
                 cls_id = jnp.argmax(s, axis=-1)
-            kb, ks, valid = yolo.nms_topk(
+            kb, ks, valid, kidx = yolo.nms_topk(
                 b, cls_score, max_dets=MAX_INSTANCES,
-                score_threshold=score_threshold)
+                score_threshold=score_threshold, return_indices=True)
             feats = roi_align.roi_align(
                 f, kb, output_size=5,
                 spatial_scale=f.shape[0] / self.input_size)
@@ -87,9 +87,10 @@ class SceneSensor:
             tokens = jnp.concatenate(
                 [gap, pos.reshape(pos.shape[0], -1)], axis=-1)
             tokens = tokens * valid[:, None]
-            # class id of kept boxes is person (or argmax) — keep 0s
-            return Instances(kb, ks, cls_id[:MAX_INSTANCES], valid,
-                             tokens, feats)
+            # class ids gathered at the NMS-kept indices (person_only
+            # keeps them 0 anyway)
+            kept_cls = jnp.where(valid, cls_id[kidx], 0)
+            return Instances(kb, ks, kept_cls, valid, tokens, feats)
 
         return jax.vmap(per_image)(boxes, scores, fm)
 

@@ -164,12 +164,13 @@ def decode_predictions(preds: Sequence[jnp.ndarray], anchors,
 
 def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
              max_dets: int = 20, iou_threshold: float = 0.45,
-             score_threshold: float = 0.25):
+             score_threshold: float = 0.25, return_indices: bool = False):
     """Fixed-shape class-agnostic NMS for one image.
 
     boxes (N,4), scores (N,) best-class score → (boxes (K,4),
-    scores (K,), valid (K,)). Greedy suppression over the top-K
-    candidates only (K = max_dets), fully jittable.
+    scores (K,), valid (K,)[, kept_idx (K,) indices into the input]).
+    Greedy suppression over the top-K candidates only (K = max_dets),
+    fully jittable.
     """
     N = boxes.shape[0]
     K = max_dets
@@ -177,7 +178,7 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
     top_boxes = boxes[top_idx]
 
     def body(i, carry):
-        keep_boxes, keep_scores, n_kept, suppressed = carry
+        keep_boxes, keep_scores, keep_idx, n_kept, suppressed = carry
         s = jnp.where(suppressed, -1.0, top_scores)
         j = jnp.argmax(s)
         ok = (s[j] >= score_threshold) & (n_kept < K)
@@ -186,17 +187,21 @@ def nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray,
                                keep_boxes)
         keep_scores = jnp.where(ok, keep_scores.at[n_kept].set(s[j]),
                                 keep_scores)
+        keep_idx = jnp.where(ok, keep_idx.at[n_kept].set(top_idx[j]),
+                             keep_idx)
         iou = _iou_one(cand, top_boxes)
         suppressed = suppressed | (ok & (iou > iou_threshold)) | \
             (jnp.arange(top_boxes.shape[0]) == j)
-        return keep_boxes, keep_scores, n_kept + ok.astype(jnp.int32), \
-            suppressed
+        return keep_boxes, keep_scores, keep_idx, \
+            n_kept + ok.astype(jnp.int32), suppressed
 
-    init = (jnp.zeros((K, 4)), jnp.zeros(K), jnp.zeros((), jnp.int32),
-            jnp.zeros(top_boxes.shape[0], bool))
-    keep_boxes, keep_scores, n_kept, _ = jax.lax.fori_loop(
+    init = (jnp.zeros((K, 4)), jnp.zeros(K), jnp.zeros(K, jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros(top_boxes.shape[0], bool))
+    keep_boxes, keep_scores, keep_idx, n_kept, _ = jax.lax.fori_loop(
         0, K, body, init)
     valid = jnp.arange(K) < n_kept
+    if return_indices:
+        return keep_boxes, keep_scores, valid, keep_idx
     return keep_boxes, keep_scores, valid
 
 

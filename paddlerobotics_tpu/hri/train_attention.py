@@ -31,6 +31,40 @@ class AttnTrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def synthetic_batch(cfg: "AttnCtrlConfig", rng, batch_size: int) -> dict:
+    """Random batch shaped for cfg.inputs_type (smoke/bench runs). The
+    single source for variant-shaped batches — the ablation CLIs and
+    tests all draw from here so the token keys can't drift from
+    `AttentionTrainer.dummy_tokens`/`_tokens`."""
+    B = batch_size
+    T = cfg.num_frames * cfg.tokens_per_frame
+    batch = {
+        "frame_ids": jnp.tile(jnp.repeat(
+            jnp.arange(1, cfg.num_frames + 1), cfg.tokens_per_frame),
+            (B, 1)),
+        "padding_mask": jnp.ones((B, T)),
+        "has_act": jnp.asarray(rng.rand(B, cfg.num_frames) > 0.5,
+                               jnp.float32),
+        "act_ids": jnp.asarray(
+            rng.randint(0, cfg.num_actions, (B, cfg.num_frames))),
+        "is_obj": jnp.asarray(rng.rand(B, T) > 0.8, jnp.float32),
+    }
+    if cfg.inputs_type == "visual_token":
+        batch["visual_tokens"] = jnp.asarray(
+            rng.randn(B, T, cfg.visual_token_dim), jnp.float32)
+    else:
+        if cfg.inputs_type != "without_inst_fm":
+            batch["inst_fm"] = jnp.asarray(
+                rng.randn(B, T, 512, 5, 5), jnp.float32)
+        if cfg.inputs_type != "without_inst_cls":
+            batch["inst_cls"] = jnp.asarray(
+                rng.randn(B, T, cfg.inst_cls_dim), jnp.float32)
+        if cfg.inputs_type != "without_inst_pos":
+            batch["inst_pos_emb"] = jnp.asarray(
+                rng.randn(B, T, cfg.inst_pos_dim), jnp.float32)
+    return batch
+
+
 class AttentionTrainer:
     def __init__(self, cfg: AttnCtrlConfig, lr: float = 1e-4,
                  weight_decay: float = 0.1, mesh=None):
@@ -46,10 +80,29 @@ class AttentionTrainer:
     TOKEN_KEYS = ("visual_tokens", "inst_fm", "inst_cls", "inst_pos_emb",
                   "inst_crop_feat")
 
+    def _variant_keys(self) -> tuple:
+        """Token keys this cfg.inputs_type consumes (attention_ctrl.py:
+        86-119)."""
+        t = self.cfg.inputs_type
+        if t == "visual_token":
+            return ("visual_tokens",)
+        if t == "inst_crop":
+            return ("inst_crop_feat", "inst_cls", "inst_pos_emb")
+        keys = []
+        if t != "without_inst_fm":
+            keys.append("inst_fm")
+        if t != "without_inst_cls":
+            keys.append("inst_cls")
+        if t != "without_inst_pos":
+            keys.append("inst_pos_emb")
+        return tuple(keys)
+
     def _tokens(self, batch) -> dict:
-        """Extract the input-variant token tensors from a batch
-        (attention_ctrl.py:86-119 ablation inputs)."""
-        return {k: batch[k] for k in self.TOKEN_KEYS if k in batch}
+        """Extract this variant's token tensors from a batch — selected
+        by inputs_type, NOT by presence, so a shared batch carrying
+        every key (one reader feeding the whole ablation fleet) feeds
+        each variant only what its params expect."""
+        return {k: batch[k] for k in self._variant_keys() if k in batch}
 
     def dummy_tokens(self, batch_size: int = 1) -> dict:
         """Zero tokens matching cfg.inputs_type (for init/templates)."""

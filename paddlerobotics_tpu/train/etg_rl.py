@@ -200,7 +200,7 @@ class ETGRLTrainer:
                 sac_state = c.sac_state
                 losses = {"critic_loss": jnp.zeros(()),
                           "actor_loss": jnp.zeros(())}
-                if warm:
+                if warm and self.updates_per_step > 0:
                     # K gradient updates per batched env step as a scan —
                     # compile time stays flat in K, so high update:data
                     # ratios (the reference does 1 update per SINGLE-env

@@ -66,7 +66,11 @@ def feasibility_probe(tr: ETGRLTrainer, carry, w, b, n_steps=400):
     k_p, k_env = jax.random.split(rng)
     p = jax.random.uniform(k_p, (B, randomize.NUM_DYNAMIC_PARAMS),
                            minval=-1.0, maxval=1.0)
-    grid = jnp.linspace(-1.0, 1.0, 16)          # friction 0.2..10.2
+    # friction = clip(0.2 + 10·g, 0, 20): one ice row (g=-0.1 → 0) then
+    # a feasible ramp 0.2..10.2 (g below -0.02 all clip to 0 — don't
+    # waste 8 duplicate rows there)
+    grid = jnp.concatenate([jnp.asarray([-0.1]),
+                            jnp.linspace(0.0, 1.0, 15)])
     p = p.at[:, 1].set(jnp.repeat(grid, B // 16))
     dp = jax.vmap(randomize.param2dynamic)(p)
     from paddlerobotics_tpu.envs.batched_env import BDynParams
@@ -90,7 +94,7 @@ def feasibility_probe(tr: ETGRLTrainer, carry, w, b, n_steps=400):
         lambda i: jax.lax.scan(body, i, None, length=n_steps))(init)
     velx = (velx / n_steps).reshape(16, B // 16).mean(axis=1)
     succ = (succ / n_steps).reshape(16, B // 16).mean(axis=1)
-    fric = 0.2 + 10.0 * grid
+    fric = jnp.clip(0.2 + 10.0 * grid, 0.0, 20.0)
     return [(round(float(f), 2), round(float(v), 3), round(float(s), 3))
             for f, v, s in zip(fric, velx, succ)]
 

@@ -111,6 +111,21 @@ def test_train_attention_resume(tmp_path):
     assert ck2[-1] == 2 * int(ck[4:])        # step counter continued
 
 
+def test_train_attention_cli_instance_variant(tmp_path):
+    """--inputs_type instance with --synthetic must train (the synthetic
+    batch is variant-shaped via hri.train_attention.synthetic_batch)."""
+    from paddlerobotics_tpu.cli import train_attention
+
+    out = tmp_path / "inst"
+    train_attention.main([
+        "--inputs_type", "instance", "--synthetic", "1", "--epochs", "1",
+        "--batch_size", "2", "--num_actions", "5", "--num_frames", "2",
+        "--tokens_per_frame", "3", "--model_dim", "16",
+        "--num_decoder_blocks", "1", "--num_heads", "2",
+        "--ffn_dim", "32", "--outdir", str(out)])
+    assert any(d.startswith("itr_") for d in os.listdir(out))
+
+
 def test_parallel_train_attn_fleet(tmp_path):
     """Ablation fleet: every variant trains (one process, per-device
     placement — parallel_train_attn.py Config map semantics)."""
