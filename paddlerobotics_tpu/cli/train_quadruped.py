@@ -74,9 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--x_noise", type=int, default=0)
     # TPU-native additions
     p.add_argument("--num_envs", type=int, default=4096)
-    p.add_argument("--updates_per_step", type=int, default=1,
-                   help="SGD updates per batched env step (data:update "
-                        "ratio study; reference does 1 per single-env step)")
+    p.add_argument("--updates_per_step", type=int, default=4,
+                   help="SGD updates per batched env step. The reference "
+                        "does 1 update per SINGLE-env step (train.py:163-"
+                        "167); 4 at B=4096 is the measured wall-clock/"
+                        "sample-efficiency sweet spot, 16 at B=1024 "
+                        "reaches success-velocity in <2M env steps — "
+                        "docs/update_schedule.md")
     p.add_argument("--chunk_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=1,

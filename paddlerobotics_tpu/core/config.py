@@ -288,6 +288,14 @@ class ESConfig:
     es_episode_len: int = 400
     es_rpm: bool = True         # feed ES rollouts into the SAC replay buffer
     num_params: int = 12
+    # Envs for ES population rollouts. The reference evaluates each
+    # candidate with ONE serial 400-step episode (run_EStrain_episode,
+    # train.py:404-408); riding the full training batch gives B/popsize
+    # (~102 at B=4096) episodes per candidate — lower-variance fitness
+    # but ~91% of training wall-clock. A dedicated smaller batch keeps
+    # ≥8 episodes per candidate at ~3× less ES wall. 0 = use the full
+    # training batch.
+    es_num_envs: int = 320
 
 
 @dataclasses.dataclass(frozen=True)

@@ -117,6 +117,25 @@ class ETGRLTrainer:
         self.sac = SAC(self.env.obs_dim, self.env.action_dim, config.sac,
                        actor=actor)
         ecfg = config.es
+        # Dedicated (smaller) env batch for ES population rollouts —
+        # see ESConfig.es_num_envs. Must mirror the training env's
+        # wrapper stack so obs dims match the frozen policy.
+        if ecfg.es_num_envs and 0 < ecfg.es_num_envs < self.B \
+                and ecfg.popsize > 0:
+            B_es = max(ecfg.popsize,
+                       (ecfg.es_num_envs // ecfg.popsize) * ecfg.popsize)
+            es_env = BatchedQuadrupedEnv(config, B_es)
+            if rnn_mode not in ("None", "none", "", None):
+                from paddlerobotics_tpu.envs.wrappers import \
+                    ObsHistoryWrapper
+
+                es_env = ObsHistoryWrapper(
+                    es_env, time_steps=config.sensors.rnn_time_steps,
+                    time_interval=config.sensors.rnn_time_interval,
+                    mode="stack")
+            self.es_env, self.es_B = es_env, B_es
+        else:
+            self.es_env, self.es_B = self.env, self.B
         self.solver = _build_solver(ecfg)
         self.updates_per_step = updates_per_step
         self.outdir = outdir
@@ -247,17 +266,17 @@ class ETGRLTrainer:
         the SAC replay buffer (P transitions/step — the reference's
         serial-episode data rate).
         """
-        B, P = self.B, popsize
+        B, P = self.es_B, popsize
         cand = jnp.repeat(jnp.arange(P), B // P, total_repeat_length=B)
         w_env = jnp.moveaxis(etg_w_pop[cand], 0, -1)   # (3,H,B)
         b_env = jnp.moveaxis(etg_b_pop[cand], 0, -1)   # (3,B)
-        state, obs = self.env.reset(rng, etg_w=w_env, etg_b=b_env)
+        state, obs = self.es_env.reset(rng, etg_w=w_env, etg_b=b_env)
         sub = jnp.arange(P) * (B // P)                 # buffer sub-sample
 
         def body(c, _):
             state, obs, ret, alive, steps, buf = c
             action = self.sac.predict(actor_params, obs)
-            nstate, nobs, rew, done, info = self.env.step(
+            nstate, nobs, rew, done, info = self.es_env.step(
                 state, action * self.act_bound + self.act_offset, autoreset=False)
             if buf is not None:
                 buf = replay.add_batch(
