@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "reaches success-velocity in <2M env steps — "
                         "docs/update_schedule.md")
     p.add_argument("--chunk_steps", type=int, default=50)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard envs/replay over ALL visible devices "
+                        "(jax.sharding Mesh; XLA compiles the gradient "
+                        "allreduce — the Fleet-NCCL equivalent)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=1,
                    help="VMEM physics megakernel (TPU only; ~4x)")
@@ -158,8 +162,19 @@ def main(argv=None):
     from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
 
     outdir = os.path.join(args.outdir, args.suffix)
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from paddlerobotics_tpu.parallel import sharding as sh
+
+        n = len(jax.devices())
+        mesh = sh.make_mesh(n_env=n, n_model=1)
+        print(f"mesh training over {n} device(s): env axis dp, "
+              f"replay rows sharded, gradient psum compiled by XLA")
     trainer = ETGRLTrainer(cfg, num_envs=args.num_envs, outdir=outdir,
-                           updates_per_step=args.updates_per_step)
+                           updates_per_step=args.updates_per_step,
+                           mesh=mesh)
     if args.load:
         trainer.restore(args.load)
     if args.eval:

@@ -86,9 +86,15 @@ class TrainCarry(NamedTuple):
 class ETGRLTrainer:
     def __init__(self, config: QuadrupedConfig, num_envs: int | None = None,
                  outdir: str = "train_log", updates_per_step: int = 1,
-                 use_tensorboard: bool = False):
+                 use_tensorboard: bool = False, mesh=None):
+        """mesh: optional jax.sharding.Mesh with ('env','model') axes —
+        envs shard batch-minor over 'env' (stepping needs no
+        communication), params are tensor-parallel over 'model'/
+        replicated, replay rows are env-sharded so gradient psum is the
+        compiled Fleet-allreduce equivalent (parallel/sharding.py)."""
         self.cfg = config
         self.B = num_envs or config.train.num_envs
+        self.mesh = mesh
         self.env = BatchedQuadrupedEnv(config, self.B)
         # Temporal observation modes (SENSOR_MODE['RNN'], train.py:273-277):
         # 'stack' flattens a (T+1)-frame history for the MLP policy;
@@ -358,6 +364,8 @@ class ETGRLTrainer:
         buf = replay.create(cfg.sac.memory_size, self.env.obs_dim,
                             self.env.action_dim)
         carry = TrainCarry(env_state, obs, sac_state, buf, rng)
+        if self.mesh is not None:
+            carry = self._place_on_mesh(carry)
 
         total_steps = 0
         e_step = tcfg.e_step
@@ -452,6 +460,33 @@ class ETGRLTrainer:
                 carry = carry._replace(rng=rng_host)
 
         return carry, (w, b, etg_best_param)
+
+    def _place_on_mesh(self, carry: TrainCarry) -> TrainCarry:
+        """Initial device placement; the jitted chunk then compiles with
+        these shardings and XLA emits the collectives."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from paddlerobotics_tpu.parallel import sharding as sh
+
+        m = self.mesh
+        env_state = sh.shard_env_state(m, carry.env_state)
+        obs = jax.device_put(
+            carry.obs, NamedSharding(m, P("env", None)))
+        ss = carry.sac_state
+        sac_state = ss._replace(
+            actor_params=sh.shard_params_tp(m, ss.actor_params),
+            critic_params=sh.shard_params_tp(m, ss.critic_params),
+            target_critic_params=sh.shard_params_tp(
+                m, ss.target_critic_params),
+            actor_opt=sh.replicate(m, ss.actor_opt),
+            critic_opt=sh.replicate(m, ss.critic_opt),
+            log_alpha=(None if ss.log_alpha is None
+                       else sh.replicate(m, ss.log_alpha)),
+            alpha_opt=(None if ss.alpha_opt is None
+                       else sh.replicate(m, ss.alpha_opt)))
+        buf = sh.shard_replay(m, carry.buffer)
+        rng = jax.device_put(carry.rng, NamedSharding(m, P()))
+        return TrainCarry(env_state, obs, sac_state, buf, rng)
 
     def _es_baseline(self, carry, w, b):
         """Current-gait baseline episode (train.py:395)."""

@@ -103,3 +103,28 @@ def test_es_population_sharded_eval():
                                         jax.random.key(1), 5, 8)
     assert fitness.shape == (8,)
     assert np.all(np.isfinite(np.asarray(fitness)))
+
+
+def test_trainer_full_mesh_training():
+    """ETGRLTrainer(mesh=...) trains end-to-end with envs/replay sharded
+    over an 8-device mesh (the CLI's --mesh path): one warmup chunk, one
+    learn chunk, one ES phase — all under sharded placement."""
+    from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
+                                                SACConfig, TrainConfig)
+    from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
+
+    B = 16
+    cfg = QuadrupedConfig(
+        sac=SACConfig(warmup_steps=0, batch_size=32, memory_size=2048),
+        es=ESConfig(popsize=4, es_every_steps=B * 5, es_train_steps=1,
+                    es_episode_len=5, es_num_envs=8),
+        train=TrainConfig(num_envs=B, eval_every_steps=10**9, e_step=50))
+    mesh = sh.make_mesh(n_env=8, n_model=1)
+    tr = ETGRLTrainer(cfg, num_envs=B, outdir="/tmp/mesh_train_test",
+                      updates_per_step=1, mesh=mesh)
+    carry, (w, b, p) = tr.train(max_steps=B * 10, chunk_steps=5,
+                                checkpoint=False)
+    # envs actually sharded over the mesh env axis (batch-minor last axis)
+    q_shard = carry.env_state.robot.s.q.sharding
+    assert q_shard.spec[-1] == "env", q_shard.spec
+    assert np.all(np.isfinite(np.asarray(carry.obs)))
