@@ -33,6 +33,14 @@ _ATTEND_FN = ctypes.CFUNCTYPE(
     ctypes.POINTER(ctypes.c_float),   # trigger out
     ctypes.POINTER(ctypes.c_float),   # obj scores out
     ctypes.POINTER(ctypes.c_int))     # action id out
+_ATTEND_EVAL_FN = ctypes.CFUNCTYPE(
+    None,
+    ctypes.POINTER(ctypes.c_float),   # tokens
+    ctypes.POINTER(ctypes.c_int),     # valid
+    ctypes.POINTER(ctypes.c_float),   # trigger out
+    ctypes.POINTER(ctypes.c_float),   # obj scores out
+    ctypes.POINTER(ctypes.c_int),     # action id out
+    ctypes.POINTER(ctypes.c_float))   # act scores out (num_act)
 
 
 def _find_lib() -> str:
@@ -148,4 +156,74 @@ class NativePipeline:
             self._server = None
         if self._handle:
             self._lib.pipeline_destroy(self._handle)
+            self._handle = None
+
+
+class NativeEvalServer:
+    """Python handle on the C++ offline EvalServer
+    (runtime_cpp/eval_server.cpp — the eval_server.proto equivalent,
+    jetson/eval_v3.cpp:1215-1310). Scores whole frame windows per
+    request; the model programs are JAX callbacks on TPU, the window
+    assembly + decision rule + transport are native. Client:
+    hri.stream_client.EvalStreamClient."""
+
+    def __init__(self,
+                 detect: Callable[[np.ndarray], tuple],
+                 attend: Callable[[np.ndarray, np.ndarray], tuple],
+                 num_act: int,
+                 trigger_threshold: float = 0.8,
+                 near_field_frac: float = 0.1,
+                 port: int = 0,
+                 lib_path: Optional[str] = None):
+        """detect as NativePipeline; attend(tokens (F,K,562),
+        valid (F,K)) → (trigger, obj_scores (K,), action_id,
+        act_scores (num_act,))."""
+        self._lib = ctypes.CDLL(lib_path or _find_lib())
+        self._lib.eval_server_create.restype = ctypes.c_void_p
+        self._lib.eval_server_create.argtypes = [
+            _DETECT_FN, _ATTEND_EVAL_FN, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_ushort]
+        self._lib.eval_server_port.argtypes = [ctypes.c_void_p]
+        self._lib.eval_server_port.restype = ctypes.c_int
+        self._lib.eval_server_destroy.argtypes = [ctypes.c_void_p]
+
+        def _detect_cb(pixels, boxes, scores, tokens, valid):
+            img = np.ctypeslib.as_array(pixels, (416, 416, 3)).copy()
+            b, s, t, v = detect(img)
+            k = min(len(b), MAX_INSTANCES)
+            np.ctypeslib.as_array(boxes, (MAX_INSTANCES * 4,))[: k * 4] = \
+                np.asarray(b, np.float32)[:k].reshape(-1)
+            np.ctypeslib.as_array(scores, (MAX_INSTANCES,))[:k] = \
+                np.asarray(s, np.float32)[:k]
+            np.ctypeslib.as_array(
+                tokens, (MAX_INSTANCES * TOKEN_DIM,))[: k * TOKEN_DIM] = \
+                np.asarray(t, np.float32)[:k].reshape(-1)
+            np.ctypeslib.as_array(valid, (MAX_INSTANCES,))[:k] = \
+                np.asarray(v, np.int32)[:k]
+            return k
+
+        def _attend_cb(tokens, valid, trigger, obj, act, act_scores):
+            t = np.ctypeslib.as_array(
+                tokens, (NUM_FRAMES, MAX_INSTANCES, TOKEN_DIM)).copy()
+            v = np.ctypeslib.as_array(
+                valid, (NUM_FRAMES, MAX_INSTANCES)).copy()
+            tr, ob, a, acts = attend(t, v)
+            trigger[0] = float(tr)
+            np.ctypeslib.as_array(obj, (MAX_INSTANCES,))[: len(ob)] = \
+                np.asarray(ob, np.float32)
+            act[0] = int(a)
+            acts = np.asarray(acts, np.float32)[:num_act]
+            np.ctypeslib.as_array(
+                act_scores, (num_act,))[: acts.size] = acts
+
+        self._detect_cb = _DETECT_FN(_detect_cb)
+        self._attend_cb = _ATTEND_EVAL_FN(_attend_cb)
+        self._handle = self._lib.eval_server_create(
+            self._detect_cb, self._attend_cb, num_act,
+            trigger_threshold, near_field_frac, port)
+        self.port = int(self._lib.eval_server_port(self._handle))
+
+    def close(self):
+        if self._handle:
+            self._lib.eval_server_destroy(self._handle)
             self._handle = None

@@ -64,3 +64,56 @@ class GreetingStreamClient:
         except OSError:
             pass
         self.sock.close()
+
+
+class EvalStreamClient:
+    """Unary client for the native offline EvalServer
+    (runtime_cpp/eval_server.cpp): EvalRequest{nframe, frames} →
+    EvalResponse{response, response_score, trigger_pred, nullact_score,
+    nullact_id} over the length-prefixed framing (the socket stand-in
+    for eval_server.proto's gRPC, jetson/parallel_eval.py's stub)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 9311,
+                 timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def infer(self, frames) -> dict:
+        """frames: sequence of float32 letterboxed RGB arrays in [0,1]
+        (416·416·3 in production). Blocking unary call."""
+        parts = [struct.pack("<Bi", 3, len(frames))]
+        for f in frames:
+            px = np.ascontiguousarray(f, np.float32).reshape(-1)
+            parts.append(struct.pack("<I", px.size) + px.tobytes())
+        body = b"".join(parts)
+        self.sock.sendall(struct.pack("<I", len(body)) + body)
+
+        (plen,) = struct.unpack("<I", self._read_exact(4))
+        payload = self._read_exact(plen)
+        if payload[0] != 4:
+            raise ValueError(f"unexpected message type {payload[0]}")
+        response_score, trigger_pred, nullact_score, nullact_id, jlen = \
+            struct.unpack("<fffiI", payload[1:21])
+        return {
+            "response": json.loads(payload[21:21 + jlen].decode("utf-8")),
+            "response_score": response_score,
+            "trigger_pred": trigger_pred,
+            "nullact_score": nullact_score,
+            "nullact_id": nullact_id,
+        }
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("stream closed")
+            buf += chunk
+        return buf
+
+    def close(self):
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self.sock.close()

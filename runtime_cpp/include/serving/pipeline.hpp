@@ -111,6 +111,10 @@ class InferBackend {
     float trigger = 0.f;
     std::vector<float> obj_scores;  // last frame's instances
     int action_id = 0;
+    // Full action distribution for the last frame (eval_server.proto
+    // needs nullact_score/nullact_id, eval_v3.cpp:1292-1296). Online
+    // backends may leave it empty.
+    std::vector<float> act_scores;
   };
   virtual AttnResult Attend(
       const std::deque<FrameInstances>& window) = 0;

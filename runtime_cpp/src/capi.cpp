@@ -5,6 +5,7 @@
 #include <cstring>
 #include <memory>
 
+#include "serving/eval_server.hpp"
 #include "serving/pipeline.hpp"
 #include "serving/stream_server.hpp"
 
@@ -21,6 +22,12 @@ typedef int (*DetectFn)(const float* pixels, float* boxes, float* scores,
 //         obj scores (K), sampled action id
 typedef void (*AttendFn)(const float* tokens, const int* valid,
                          float* trigger, float* obj_scores, int* action_id);
+// attend for offline eval: additionally fills the full action
+// distribution of the last frame (act_scores, num_act floats — the
+// count is fixed at eval_server_create time).
+typedef void (*AttendEvalFn)(const float* tokens, const int* valid,
+                             float* trigger, float* obj_scores,
+                             int* action_id, float* act_scores);
 
 namespace {
 
@@ -83,6 +90,47 @@ class CallbackBackend : public InferBackend {
   AttendFn attend_;
 };
 
+// Eval variant: same Detect, Attend also returns the action
+// distribution (for EvalResponse.nullact_score/nullact_id).
+class EvalCallbackBackend : public CallbackBackend {
+ public:
+  EvalCallbackBackend(DetectFn d, AttendEvalFn a, int num_act)
+      : CallbackBackend(d, nullptr), attend_eval_(a), num_act_(num_act) {}
+
+  AttnResult Attend(const std::deque<FrameInstances>& window) override {
+    static thread_local std::vector<float> tokens(
+        kNumFrames * kMaxInstances * kTokenDim, 0.f);
+    static thread_local std::vector<int> valid(kNumFrames * kMaxInstances,
+                                               0);
+    std::fill(tokens.begin(), tokens.end(), 0.f);
+    std::fill(valid.begin(), valid.end(), 0);
+    int f = 0;
+    for (const auto& fr : window) {
+      for (size_t k = 0; k < fr.instances.size() && k < kMaxInstances;
+           ++k) {
+        size_t base = (static_cast<size_t>(f) * kMaxInstances + k);
+        std::memcpy(tokens.data() + base * kTokenDim,
+                    fr.instances[k].token.data(),
+                    kTokenDim * sizeof(float));
+        valid[base] = fr.instances[k].valid ? 1 : 0;
+      }
+      ++f;
+    }
+    AttnResult r;
+    float obj[kMaxInstances] = {0};
+    r.act_scores.assign(num_act_, 0.f);
+    attend_eval_(tokens.data(), valid.data(), &r.trigger, obj,
+                 &r.action_id, r.act_scores.data());
+    size_t n_last = window.back().instances.size();
+    r.obj_scores.assign(obj, obj + n_last);
+    return r;
+  }
+
+ private:
+  AttendEvalFn attend_eval_;
+  int num_act_;
+};
+
 }  // namespace
 
 void* pipeline_create(float trigger_threshold, float near_field_frac,
@@ -143,6 +191,32 @@ int server_port(void* server_handle) {
 
 void server_destroy(void* server_handle) {
   auto* s = static_cast<StreamServer*>(server_handle);
+  s->Stop();
+  delete s;
+}
+
+// --- offline eval service (eval_server.hpp) ---------------------------------
+// Standalone batch-of-frames scorer (eval_server.proto equivalent);
+// owns its own backend — no pipeline involved.
+void* eval_server_create(DetectFn detect, AttendEvalFn attend, int num_act,
+                         float trigger_threshold, float near_field_frac,
+                         unsigned short port) {
+  EvalConfig cfg;
+  cfg.trigger_threshold = trigger_threshold;
+  cfg.near_field_frac = near_field_frac;
+  auto* s = new EvalServer(
+      std::make_shared<EvalCallbackBackend>(detect, attend, num_act),
+      {}, cfg, port);
+  s->Start();
+  return s;
+}
+
+int eval_server_port(void* handle) {
+  return static_cast<EvalServer*>(handle)->port();
+}
+
+void eval_server_destroy(void* handle) {
+  auto* s = static_cast<EvalServer*>(handle);
   s->Stop();
   delete s;
 }

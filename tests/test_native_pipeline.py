@@ -94,3 +94,59 @@ def test_stream_transport_full_loop():
         if client is not None:
             client.close()
         pipe.close()
+
+
+def test_eval_server_full_loop():
+    """Python model callbacks → C++ EvalServer → EvalStreamClient:
+    unary batch-of-frames scoring (the eval_server.proto equivalent,
+    jetson/eval_v3.cpp:1215-1310)."""
+    from paddlerobotics_tpu.hri.native_pipeline import NativeEvalServer
+    from paddlerobotics_tpu.hri.stream_client import EvalStreamClient
+
+    calls = {"detect": 0, "attend": 0}
+
+    def detect(img):
+        calls["detect"] += 1
+        boxes = np.array([[100, 20, 200, 380]], np.float32)
+        return (boxes, np.array([0.9], np.float32),
+                np.full((1, 562), float(img[0, 0, 0]), np.float32),
+                np.array([1], np.int32))
+
+    def attend(tokens, valid):
+        calls["attend"] += 1
+        # trigger = mean token value over valid slots
+        m = float(tokens[valid > 0].mean()) if (valid > 0).any() else 0.0
+        acts = np.array([0.05, 0.15, 0.6, 0.2], np.float32)
+        return m, np.array([0.8], np.float32), 2, acts
+
+    server = NativeEvalServer(detect, attend, num_act=4,
+                              trigger_threshold=0.8)
+    client = None
+    try:
+        assert server.port > 0
+        client = EvalStreamClient(port=server.port)
+
+        hi = np.full((416, 416, 3), 0.95, np.float32)
+        out = client.infer([hi] * 10)
+        assert calls["detect"] == 10 and calls["attend"] == 1
+        assert out["trigger_pred"] == pytest.approx(0.95, abs=1e-5)
+        assert out["response"]["triggered"] is True
+        assert out["response"]["action_id"] == 2
+        assert out["nullact_id"] == 2          # argmax of act scores
+        assert out["nullact_score"] == pytest.approx(0.05, abs=1e-6)
+        assert out["response_score"] == pytest.approx(0.6, abs=1e-6)
+
+        lo = np.full((416, 416, 3), 0.1, np.float32)
+        out2 = client.infer([lo] * 10)
+        assert out2["response"]["triggered"] is False
+        assert out2["response"]["reason"] == "below_threshold"
+
+        # short window: left-padded, only 3 detects
+        calls["detect"] = 0
+        out3 = client.infer([hi] * 3)
+        assert calls["detect"] == 3
+        assert out3["trigger_pred"] == pytest.approx(0.95, abs=1e-5)
+    finally:
+        if client is not None:
+            client.close()
+        server.close()
