@@ -97,9 +97,10 @@ class ClipDataset:
 class R2Plus1DTrainer:
     def __init__(self, num_classes: int, lr: float = 1e-4, seed: int = 0,
                  input_hw: int = 112, sample_length: int = 8,
-                 blocks=None):
+                 blocks=None, stem_kernel: int = 7):
         kw = {} if blocks is None else {"blocks": tuple(blocks)}
-        self.model = R2Plus1D18(num_classes=num_classes, **kw)
+        self.model = R2Plus1D18(num_classes=num_classes,
+                                stem_kernel=stem_kernel, **kw)
         self.tx = optax.adam(lr)
         dummy = jnp.zeros((1, sample_length, input_hw, input_hw, 3))
         variables = self.model.init(jax.random.key(seed), dummy, True)

@@ -96,7 +96,7 @@ def test_r2plus1d_trains_on_synthetic_clips():
                            test_frac=0.25, seed=0)
     tiny = ((32, (1, 1, 1)), (64, (2, 2, 2)))   # CPU-sized stage plan
     tr = r2t.R2Plus1DTrainer(num_classes=3, lr=5e-4, input_hw=32,
-                             blocks=tiny)
+                             blocks=tiny, stem_kernel=3)
     # enough steps for BatchNorm running stats (momentum .99) to settle
     hist = tr.fit(data, epochs=25, batch_size=4)
     assert np.isfinite(hist["loss"])
@@ -160,3 +160,105 @@ def test_full_negative_mining_feeds_attention_training():
     # negative windows carry act_id 0 everywhere
     neg_rows = has_act == 0
     assert np.all(batch["act_ids"][neg_rows] == 0)
+
+
+# -- torch → flax weight import ------------------------------------------------
+
+def _torch_r2plus1d_18(num_classes):
+    """torchvision r2plus1d_18 layout in pure torch (torchvision is not
+    in this image): same module tree → identical state_dict key schema
+    (stem.0, layer{L}.{i}.conv1.0.0, ..., fc), so real checkpoints load
+    the same way the synthetic one does here."""
+    import torch.nn as tnn
+
+    def midplanes(inp, out):
+        return (inp * out * 3 * 3 * 3) // (inp * 3 * 3 + 3 * out)
+
+    def conv2plus1d(inp, out, mid, stride=1):
+        return tnn.Sequential(
+            tnn.Conv3d(inp, mid, (1, 3, 3), stride=(1, stride, stride),
+                       padding=(0, 1, 1), bias=False),
+            tnn.BatchNorm3d(mid),
+            tnn.ReLU(inplace=True),
+            tnn.Conv3d(mid, out, (3, 1, 1), stride=(stride, 1, 1),
+                       padding=(1, 0, 0), bias=False))
+
+    class BasicBlock(tnn.Module):
+        def __init__(self, inp, planes, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Sequential(
+                conv2plus1d(inp, planes, midplanes(inp, planes), stride),
+                tnn.BatchNorm3d(planes), tnn.ReLU(inplace=True))
+            self.conv2 = tnn.Sequential(
+                conv2plus1d(planes, planes, midplanes(planes, planes)),
+                tnn.BatchNorm3d(planes))
+            self.relu = tnn.ReLU(inplace=True)
+            self.downsample = None
+            if stride != 1 or inp != planes:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv3d(inp, planes, 1,
+                               stride=(stride, stride, stride), bias=False),
+                    tnn.BatchNorm3d(planes))
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            return self.relu(self.conv2(self.conv1(x)) + identity)
+
+    class VideoResNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = tnn.Sequential(
+                tnn.Conv3d(3, 45, (1, 7, 7), stride=(1, 2, 2),
+                           padding=(0, 3, 3), bias=False),
+                tnn.BatchNorm3d(45), tnn.ReLU(inplace=True),
+                tnn.Conv3d(45, 64, (3, 1, 1), padding=(1, 0, 0),
+                           bias=False),
+                tnn.BatchNorm3d(64), tnn.ReLU(inplace=True))
+            self.layer1 = tnn.Sequential(BasicBlock(64, 64),
+                                         BasicBlock(64, 64))
+            self.layer2 = tnn.Sequential(BasicBlock(64, 128, 2),
+                                         BasicBlock(128, 128))
+            self.layer3 = tnn.Sequential(BasicBlock(128, 256, 2),
+                                         BasicBlock(256, 256))
+            self.layer4 = tnn.Sequential(BasicBlock(256, 512, 2),
+                                         BasicBlock(512, 512))
+            self.fc = tnn.Linear(512, num_classes)
+
+        def forward(self, x):
+            h = self.stem(x)
+            for layer in (self.layer1, self.layer2, self.layer3,
+                          self.layer4):
+                h = layer(h)
+            h = h.mean(dim=(2, 3, 4))
+            return self.fc(h)
+
+    return VideoResNet()
+
+
+def test_r2plus1d_torch_import_parity():
+    """Random torch r2plus1d_18 → import_torch_state_dict → flax forward
+    matches the torch forward (eval mode, running stats exercised)."""
+    torch = pytest.importorskip("torch")
+    from paddlerobotics_tpu.hri.r2plus1d import import_torch_state_dict
+
+    torch.manual_seed(0)
+    tm = _torch_r2plus1d_18(num_classes=5)
+    # randomize BN affine + running stats so the import is non-trivial
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm3d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.3, 0.3)
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    tm.eval()
+
+    x = np.random.RandomState(1).rand(1, 8, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+
+    variables = import_torch_state_dict(tm.state_dict())
+    model = R2Plus1D18(num_classes=5)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), False))
+
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
