@@ -157,3 +157,95 @@ def test_attention_trainer_step():
     assert np.isfinite(float(aux["loss"]))
     metrics = tr.eval_step(state, batch)
     assert "trigger_acc" in metrics
+
+
+def test_tf_graph_const_roundtrip_and_reid_import():
+    """Synthetic frozen GraphDef → parse_graph_consts →
+    import_tf_consts → flax forward matches the source variables
+    (the offline weight-import path for mars-small128.pb,
+    re_id.py:22-48; tf_graph.py hand-decodes the protobuf wire
+    format since TF is absent here)."""
+    import jax
+    from paddlerobotics_tpu.hri.perception.reid import import_tf_consts
+    from paddlerobotics_tpu.hri.perception.tf_graph import (
+        encode_const_graph, parse_graph_consts)
+
+    # 1. wire-format round trip, incl. int32 + scalar tensors
+    arrays = [("a/w", np.random.RandomState(0).randn(3, 3, 2, 4)
+               .astype(np.float32)),
+              ("b/idx", np.arange(6, dtype=np.int32).reshape(2, 3)),
+              ("c/scalar", np.float32(2.5).reshape(()))]
+    parsed = parse_graph_consts(encode_const_graph(arrays))
+    assert list(parsed) == ["a/w", "b/idx", "c/scalar"]
+    for (name, src) in arrays:
+        np.testing.assert_array_equal(parsed[name], src)
+
+    # 2. full ReID import: serialize a randomized flax MarsSmall128 into
+    # the TF const ordering (kernel then BN group per layer), round-trip
+    # through the wire format, import, and compare forwards.
+    m = MarsSmall128()
+    rng = np.random.RandomState(1)
+    variables = m.init(jax.random.key(0), jnp.zeros((1, 128, 64, 3)),
+                       False)
+    variables = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.uniform(0.05, 1.0, a.shape), a.dtype),
+        variables)
+
+    p, s = variables["params"], variables["batch_stats"]
+
+    consts = []
+
+    def emit_conv(path):
+        node = p
+        for k in path:
+            node = node[k]
+        consts.append(("/".join(path) + "/weights",
+                       np.asarray(node["kernel"])))
+
+    def emit_bn(path, with_gamma):
+        pn, sn = p, s
+        for k in path:
+            pn, sn = pn[k], sn[k]
+        prefix = "/".join(path)
+        if with_gamma:
+            consts.append((prefix + "/gamma", np.asarray(pn["scale"])))
+        consts.append((prefix + "/beta", np.asarray(pn["bias"])))
+        consts.append((prefix + "/moving_mean", np.asarray(sn["mean"])))
+        consts.append((prefix + "/moving_variance",
+                       np.asarray(sn["var"])))
+        if not with_gamma:
+            pn["scale"] = jnp.ones_like(pn["scale"])  # slim scale=False
+
+    emit_conv(("Conv_0",))
+    emit_bn(("BatchNorm_0",), with_gamma=True)   # 4-group path
+    emit_conv(("Conv_1",))
+    emit_bn(("BatchNorm_1",), with_gamma=False)  # 3-group path
+    for i in range(6):
+        r = f"_Residual_{i}"
+        emit_bn((r, "BatchNorm_0"), with_gamma=True)
+        emit_conv((r, "Conv_0"))
+        emit_bn((r, "BatchNorm_1"), with_gamma=True)
+        emit_conv((r, "Conv_1"))
+        if "Conv_2" in p[r]:
+            emit_conv((r, "Conv_2"))
+    consts.append(("fc1/weights", np.asarray(p["Dense_0"]["kernel"])))
+    emit_bn(("BatchNorm_2",), with_gamma=True)
+    # conv biases are zero in the TF graph (BN-followed convs)
+    zeroed = jax.tree_util.tree_map(lambda a: a, variables)
+    for name, node in zeroed["params"].items():
+        if name.startswith("Conv") or name.startswith("Dense"):
+            node["bias"] = jnp.zeros_like(node["bias"])
+    for rname in [k for k in zeroed["params"] if k.startswith("_Resid")]:
+        for name, node in zeroed["params"][rname].items():
+            if name.startswith("Conv"):
+                node["bias"] = jnp.zeros_like(node["bias"])
+
+    imported = import_tf_consts(
+        parse_graph_consts(encode_const_graph(consts)))
+
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 128, 64, 3),
+                    jnp.float32)
+    ref = m.apply(zeroed, x, False)
+    got = m.apply(imported, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
