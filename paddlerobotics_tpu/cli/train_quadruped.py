@@ -97,6 +97,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="anneal DR scale from dr_scale_start to "
                         "dynamics_scale over this many env steps "
                         "(0 = constant)")
+    p.add_argument("--warmup_steps", type=int, default=10_000,
+                   help="env steps of random-action warmup before SAC "
+                        "learning (reference constant 1e4, train.py:41; "
+                        "scale up with --updates_per_step at small "
+                        "--num_envs — see docs/update_schedule.md)")
+    p.add_argument("--dr_adaptive", type=int, default=0,
+                   help="success-gated DR curriculum (ADR-style): grow "
+                        "the scale while EMA success >= dr_success_hi, "
+                        "shrink below dr_success_lo; overrides "
+                        "--dr_curriculum_steps")
+    p.add_argument("--dr_success_lo", type=float, default=0.30)
+    p.add_argument("--dr_success_hi", type=float, default=0.50)
     p.add_argument("--terrain_start", type=float, default=0.5,
                    help="flat run-in before the terrain feature (m)")
     p.add_argument("--step_height", type=float, default=0.08)
@@ -114,6 +126,7 @@ def config_from_args(args) -> QuadrupedConfig:
         jax.default_backend() != "cpu"
     return QuadrupedConfig(
         sim=SimConfig(use_pallas=use_pallas),
+        sac=SACConfig(warmup_steps=args.warmup_steps),
         sensors=SensorConfig(
             dis=bool(args.sensor_dis), motor=args.sensor_motor,
             imu=args.sensor_imu, contact=bool(args.sensor_contact),
@@ -134,7 +147,10 @@ def config_from_args(args) -> QuadrupedConfig:
             random_force=bool(args.random_force),
             dynamics_scale=args.dynamics_scale,
             dr_scale_start=args.dr_scale_start,
-            dr_curriculum_steps=args.dr_curriculum_steps),
+            dr_curriculum_steps=args.dr_curriculum_steps,
+            dr_adaptive=bool(args.dr_adaptive),
+            dr_success_lo=args.dr_success_lo,
+            dr_success_hi=args.dr_success_hi),
         etg=ETGConfig(T=args.ETG_T, T2=args.ETG_T2, H=args.ETG_H,
                       steplen=args.steplen, footheight=args.footheight,
                       step_y=args.step_y),

@@ -127,6 +127,16 @@ class RandomConfig:
     # in BEnvState — annealing never recompiles.
     dr_scale_start: float = 0.2
     dr_curriculum_steps: int = 0
+    # Adaptive (success-gated) curriculum, an alternative to the linear
+    # schedule above: widen the DR scale while training succeeds, back
+    # off when it struggles (ADR-style; avoids the mid-anneal collapse
+    # documented in docs/dr_study.md). Takes precedence over
+    # dr_curriculum_steps when enabled.
+    dr_adaptive: bool = False
+    dr_success_lo: float = 0.30   # EMA success below → shrink scale
+    dr_success_hi: float = 0.50   # EMA success above → grow scale
+    dr_step_up: float = 0.02      # scale increment per rollout chunk
+    dr_step_down: float = 0.01
     # Ranges (low, high) for randomized physical params; the param2dynamic
     # mapping in envs/randomize.py converts [-1,1]^48 into these.
     latency_range: Tuple[float, float] = (0.0, 0.08)   # seconds

@@ -41,6 +41,38 @@ INFO_CHANNELS = ("torso", "up", "feet", "tau", "stand", "badfoot",
                  "footcontact", "velx", "success")
 
 
+class AdaptiveDRController:
+    """Success-gated DR-scale schedule (ADR-style alternative to the
+    linear anneal): widen the randomization scale while the EMA success
+    rate clears `hi`, back off below `lo`. Motivated by docs/dr_study.md
+    — the linear schedule keeps pushing scale through a struggling
+    policy, which (without dynamic_vec) ends in critic collapse; gating
+    on success holds the frontier at the edge of competence instead.
+    Pure host-side logic on the traced BEnvState.dr_scale — never
+    recompiles."""
+
+    def __init__(self, rcfg, ema_decay: float = 0.9):
+        self.scale = rcfg.dr_scale_start
+        self.lo = rcfg.dr_success_lo
+        self.hi = rcfg.dr_success_hi
+        self.step_up = rcfg.dr_step_up
+        self.step_down = rcfg.dr_step_down
+        self.min_scale = rcfg.dr_scale_start
+        self.max_scale = rcfg.dynamics_scale
+        self.ema_decay = ema_decay
+        self.ema = None
+
+    def update(self, success: float) -> float:
+        """Feed one rollout chunk's mean success; returns the new scale."""
+        self.ema = (success if self.ema is None else
+                    self.ema_decay * self.ema +
+                    (1.0 - self.ema_decay) * success)
+        if self.ema >= self.hi:
+            self.scale += self.step_up
+        elif self.ema < self.lo:
+            self.scale -= self.step_down
+        self.scale = min(max(self.scale, self.min_scale), self.max_scale)
+        return self.scale
 
 
 def _build_solver(ecfg):
@@ -374,8 +406,11 @@ class ETGRLTrainer:
         es_gen = 0
 
         rcfg = cfg.random
-        dr_curr = rcfg.random_dynamics and rcfg.dr_curriculum_steps > 0
-        if dr_curr:
+        dr_adaptive = rcfg.random_dynamics and rcfg.dr_adaptive
+        dr_curr = (rcfg.random_dynamics and rcfg.dr_curriculum_steps > 0
+                   and not dr_adaptive)
+        adr = AdaptiveDRController(rcfg) if dr_adaptive else None
+        if dr_curr or dr_adaptive:
             carry = carry._replace(env_state=self._set_dr_scale(
                 carry.env_state, rcfg.dr_scale_start))
 
@@ -390,6 +425,12 @@ class ETGRLTrainer:
                 self.logger.add_scalar("train/dr_scale", scale,
                                        total_steps)
             carry, out = self.rollout_chunk(carry, e_step, chunk_steps, warm)
+            if adr is not None:
+                scale = adr.update(float(out["success"]))
+                carry = carry._replace(env_state=self._set_dr_scale(
+                    carry.env_state, scale))
+                self.logger.add_scalar("train/dr_scale", scale,
+                                       total_steps)
             total_steps += chunk_steps * self.B
             self.logger.add_scalar("train/episode_reward",
                                    float(out["reward"]), total_steps)

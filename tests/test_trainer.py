@@ -137,3 +137,58 @@ def test_rnn_mode_unknown_raises(tiny_cfg):
         tiny_cfg, sensors=SensorConfig(rnn_time_steps=3, rnn_mode="bogus"))
     with pytest.raises(ValueError):
         ETGRLTrainer(cfg, num_envs=8, outdir="/tmp/etg_bogus")
+
+
+def test_adaptive_dr_controller_logic():
+    from paddlerobotics_tpu.core.config import RandomConfig
+    from paddlerobotics_tpu.train.etg_rl import AdaptiveDRController
+
+    rcfg = RandomConfig(random_dynamics=True, dynamics_scale=1.0,
+                        dr_scale_start=0.3, dr_adaptive=True,
+                        dr_success_lo=0.3, dr_success_hi=0.5,
+                        dr_step_up=0.1, dr_step_down=0.05)
+    adr = AdaptiveDRController(rcfg, ema_decay=0.0)  # no smoothing
+    # sustained success → scale grows toward the full range and clamps
+    for _ in range(10):
+        s = adr.update(0.9)
+    assert s == pytest.approx(1.0)
+    # sustained failure → backs off, clamped at the floor
+    for _ in range(20):
+        s = adr.update(0.0)
+    assert s == pytest.approx(0.3)
+    # mid-band success holds the frontier
+    s0 = adr.update(0.4)
+    assert adr.update(0.4) == pytest.approx(s0)
+    # EMA actually smooths: one bad chunk after many good ones does not
+    # immediately shrink
+    adr2 = AdaptiveDRController(rcfg, ema_decay=0.9)
+    for _ in range(30):
+        adr2.update(0.9)
+    grown = adr2.scale
+    adr2.update(0.0)
+    assert adr2.scale >= grown  # EMA still above lo → no step down
+
+
+def test_adaptive_dr_in_trainer(tiny_cfg, tmp_path):
+    from paddlerobotics_tpu.core.config import RandomConfig
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        random=RandomConfig(random_dynamics=True, dynamics_scale=1.0,
+                            dr_scale_start=0.25, dr_adaptive=True,
+                            dr_success_lo=0.0, dr_success_hi=-1.0,
+                            dr_step_up=0.05),
+        es=ESConfig(popsize=4, es_every_steps=10**12),
+    )
+    trainer = ETGRLTrainer(cfg, num_envs=8, outdir=str(tmp_path))
+    trainer.train(max_steps=400, chunk_steps=10, checkpoint=False)
+    # success_hi = -1 → every chunk grows the scale; the log must show a
+    # rising dr_scale starting from dr_scale_start
+    import json
+    scales = [json.loads(l)["value"]
+              for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+              if json.loads(l)["tag"] == "train/dr_scale"]
+    assert len(scales) >= 3
+    assert scales[0] == pytest.approx(0.30)   # start + one step
+    assert all(b >= a for a, b in zip(scales, scales[1:]))
+    assert scales[-1] > scales[0]
