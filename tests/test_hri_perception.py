@@ -249,3 +249,39 @@ def test_tf_graph_const_roundtrip_and_reid_import():
     got = m.apply(imported, x, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_ernie_paddle_import_roundtrip(tmp_path):
+    """flax → export_ernie_params (reference-graph names) →
+    fluid-save_params binary files → load_paddle_params_dir →
+    import_ernie_params: identical forward. Validates the LoDTensor
+    binary codec and the full name/shape mapping (ernie_v1.py:77-141,
+    transformer.py:53-293)."""
+    import jax
+    from paddlerobotics_tpu.hri.perception.utterance import (
+        _encode_paddle_var, export_ernie_params, import_ernie_params,
+        load_paddle_params_dir)
+
+    cfg = ErnieConfig(vocab_size=120, hidden_size=32, num_layers=2,
+                      num_heads=4, ffn_size=64, max_len=48)
+    m = ErnieEncoder(cfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 120, (2, 12)))
+    variables = m.init(jax.random.key(3), ids)
+
+    named = export_ernie_params(variables, cfg)
+    # every reference param name present, e.g. the fc/layer-norm scheme
+    assert "encoder_layer_1_multi_head_att_query_fc.w_0" in named
+    assert "encoder_layer_0_post_ffn_layer_norm_scale" in named
+    for name, arr in named.items():
+        (tmp_path / name).write_bytes(_encode_paddle_var(arr))
+
+    loaded = load_paddle_params_dir(str(tmp_path))
+    assert set(loaded) == set(named)
+    imported = import_ernie_params(loaded, cfg)
+
+    ref_seq, ref_pool = m.apply(variables, ids)
+    got_seq, got_pool = m.apply(imported, ids)
+    np.testing.assert_allclose(np.asarray(got_seq),
+                               np.asarray(ref_seq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_pool),
+                               np.asarray(ref_pool), atol=1e-6)
