@@ -167,3 +167,44 @@ def test_render_frame():
     assert frame.dtype == np.uint8
     # not blank
     assert frame.std() > 5
+
+
+def test_robot_exercise_probe(tmp_path):
+    """Sim/robot exercise tool (a1_robot_exercise.py equivalent): blend
+    to init pose on the rack, sinusoidal hip exercise, npz trace with
+    the reference's channel names."""
+    import dataclasses
+
+    from paddlerobotics_tpu.cli.robot_exercise import (read_full_state,
+                                                       run_exercise)
+    from paddlerobotics_tpu.core.config import QuadrupedConfig
+    from paddlerobotics_tpu.deploy.realtime import SimRobotIO
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+    from paddlerobotics_tpu.sim import a1_model as a1
+
+    cfg = QuadrupedConfig()
+    cfg = dataclasses.replace(
+        cfg, sim=dataclasses.replace(cfg.sim, on_rack=True),
+        etg=dataclasses.replace(cfg.etg, step_y=0.0))
+    env = BatchedQuadrupedEnv(cfg, num_envs=1)
+    io = SimRobotIO(env)
+
+    rec = run_exercise(io, steps=120, blend_steps=40, freq=2.0)
+    out = str(tmp_path / "probe_obs_sin.npz")
+    rec.save(out)
+
+    data = np.load(out)
+    assert set(data.files) == {"motor_angle", "motor_velocity",
+                               "foot_contact", "v", "imu", "rpy",
+                               "action"}
+    q = data["motor_angle"]
+    assert q.shape == (120, 12)
+    # the sinusoid actually moves the hips around the init angle
+    init_hip = float(np.asarray(a1.INIT_MOTOR_ANGLES)[1])
+    assert q[:, 1].max() > init_hip + 0.05
+    assert q[:, 1].min() < init_hip - 0.05
+    # tracking: commanded vs measured hip within PD tracking error
+    cmd = data["action"][:, 1]
+    assert np.abs(cmd - q[:, 1]).mean() < 0.15
+    # on the rack the base must not translate
+    assert np.abs(data["v"]).max() < 1e-3
