@@ -77,9 +77,13 @@ def run_exercise(io, steps: int = 1000, blend_steps: int = 300,
     """Blend to init pose, then sinusoidal hip exercise (logged)."""
     init = np.asarray(a1.INIT_MOTOR_ANGLES, np.float64)
     start = read_full_state(io)["q"].astype(np.float64)
-    # slow blend to the init pose (a1_robot_exercise.py:42-50)
+    # slow blend to the init pose over the first 2/3 of blend_steps,
+    # then hold (the reference ramps over 200 of its 300 steps,
+    # a1_robot_exercise.py:42-50) — the ramp must stay gradual for any
+    # blend_steps, this being a hardware-safety feature
+    ramp = max(1, (2 * blend_steps) // 3)
     for t in range(blend_steps):
-        blend = min(t / max(blend_steps - 100, 1), 1.0)
+        blend = min(t / ramp, 1.0)
         io.apply_action((1 - blend) * start + blend * init)
 
     rec = ExerciseRecorder()

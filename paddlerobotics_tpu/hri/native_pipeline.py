@@ -43,6 +43,29 @@ _ATTEND_EVAL_FN = ctypes.CFUNCTYPE(
     ctypes.POINTER(ctypes.c_float))   # act scores out (num_act)
 
 
+def _make_detect_cb(detect):
+    """Wrap a python detect(img (416,416,3)) → (boxes, scores, tokens,
+    valid) into the C detect callback (shared by NativePipeline and
+    NativeEvalServer)."""
+
+    def _detect_cb(pixels, boxes, scores, tokens, valid):
+        img = np.ctypeslib.as_array(pixels, (416, 416, 3)).copy()
+        b, s, t, v = detect(img)
+        k = min(len(b), MAX_INSTANCES)
+        np.ctypeslib.as_array(boxes, (MAX_INSTANCES * 4,))[: k * 4] = \
+            np.asarray(b, np.float32)[:k].reshape(-1)
+        np.ctypeslib.as_array(scores, (MAX_INSTANCES,))[:k] = \
+            np.asarray(s, np.float32)[:k]
+        np.ctypeslib.as_array(
+            tokens, (MAX_INSTANCES * TOKEN_DIM,))[: k * TOKEN_DIM] = \
+            np.asarray(t, np.float32)[:k].reshape(-1)
+        np.ctypeslib.as_array(valid, (MAX_INSTANCES,))[:k] = \
+            np.asarray(v, np.int32)[:k]
+        return k
+
+    return _DETECT_FN(_detect_cb)
+
+
 def _find_lib() -> str:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -82,21 +105,6 @@ class NativePipeline:
         self._lib.pipeline_poll.restype = ctypes.c_int
         self._lib.pipeline_destroy.argtypes = [ctypes.c_void_p]
 
-        def _detect_cb(pixels, boxes, scores, tokens, valid):
-            img = np.ctypeslib.as_array(pixels, (416, 416, 3)).copy()
-            b, s, t, v = detect(img)
-            k = min(len(b), MAX_INSTANCES)
-            np.ctypeslib.as_array(boxes, (MAX_INSTANCES * 4,))[: k * 4] = \
-                np.asarray(b, np.float32)[:k].reshape(-1)
-            np.ctypeslib.as_array(scores, (MAX_INSTANCES,))[:k] = \
-                np.asarray(s, np.float32)[:k]
-            np.ctypeslib.as_array(
-                tokens, (MAX_INSTANCES * TOKEN_DIM,))[: k * TOKEN_DIM] = \
-                np.asarray(t, np.float32)[:k].reshape(-1)
-            np.ctypeslib.as_array(valid, (MAX_INSTANCES,))[:k] = \
-                np.asarray(v, np.int32)[:k]
-            return k
-
         def _attend_cb(tokens, valid, trigger, obj, act):
             t = np.ctypeslib.as_array(
                 tokens, (NUM_FRAMES, MAX_INSTANCES, TOKEN_DIM)).copy()
@@ -109,7 +117,7 @@ class NativePipeline:
             act[0] = int(a)
 
         # keep references alive (ctypes does not)
-        self._detect_cb = _DETECT_FN(_detect_cb)
+        self._detect_cb = _make_detect_cb(detect)
         self._attend_cb = _ATTEND_FN(_attend_cb)
         self._handle = self._lib.pipeline_create(
             trigger_threshold, near_field_frac, cooldown_s,
@@ -187,21 +195,6 @@ class NativeEvalServer:
         self._lib.eval_server_port.restype = ctypes.c_int
         self._lib.eval_server_destroy.argtypes = [ctypes.c_void_p]
 
-        def _detect_cb(pixels, boxes, scores, tokens, valid):
-            img = np.ctypeslib.as_array(pixels, (416, 416, 3)).copy()
-            b, s, t, v = detect(img)
-            k = min(len(b), MAX_INSTANCES)
-            np.ctypeslib.as_array(boxes, (MAX_INSTANCES * 4,))[: k * 4] = \
-                np.asarray(b, np.float32)[:k].reshape(-1)
-            np.ctypeslib.as_array(scores, (MAX_INSTANCES,))[:k] = \
-                np.asarray(s, np.float32)[:k]
-            np.ctypeslib.as_array(
-                tokens, (MAX_INSTANCES * TOKEN_DIM,))[: k * TOKEN_DIM] = \
-                np.asarray(t, np.float32)[:k].reshape(-1)
-            np.ctypeslib.as_array(valid, (MAX_INSTANCES,))[:k] = \
-                np.asarray(v, np.int32)[:k]
-            return k
-
         def _attend_cb(tokens, valid, trigger, obj, act, act_scores):
             t = np.ctypeslib.as_array(
                 tokens, (NUM_FRAMES, MAX_INSTANCES, TOKEN_DIM)).copy()
@@ -216,7 +209,7 @@ class NativeEvalServer:
             np.ctypeslib.as_array(
                 act_scores, (num_act,))[: acts.size] = acts
 
-        self._detect_cb = _DETECT_FN(_detect_cb)
+        self._detect_cb = _make_detect_cb(detect)
         self._attend_cb = _ATTEND_EVAL_FN(_attend_cb)
         self._handle = self._lib.eval_server_create(
             self._detect_cb, self._attend_cb, num_act,

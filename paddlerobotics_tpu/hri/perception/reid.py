@@ -63,14 +63,21 @@ def import_tf_consts(consts, feature_dim: int = 128):
     (re_id.py:22-48 runs that graph through a TF1 session; here the
     weights are lifted into the flax rebuild instead).
 
-    Mapping is structural — graph order + shapes, not names (freeze
-    scripts differ in scoping). Conventions, validated by the
-    round-trip test in tests/test_hri_perception.py:
+    Mapping is structural — graph order + shapes — with BatchNorm
+    groups delimited by the const NODE NAME's scope (everything before
+    the last '/'): two adjacent BatchNorms of the same width (e.g. the
+    stem's second BN straight into the first residual's pre-activation
+    BN) live in different scopes, so grouping never bleeds across.
+    Conventions, validated by the round-trip test in
+    tests/test_hri_perception.py:
       * a 4-D const is the next expected conv kernel (TF HWIO = flax
         HWIO, no transpose); shape is asserted;
-      * a run of 1-D consts following a kernel is its BatchNorm group:
-        3 tensors → (beta, mean, var) with scale fixed at 1 (slim's
-        `scale=False` freeze), 4 tensors → (gamma, beta, mean, var);
+      * the 1-D consts sharing one scope after a kernel are its
+        BatchNorm group; within the group, tensors are assigned by
+        name suffix (gamma/beta/mean/var[iance] — TF's standard slim
+        names) with positional fallback: 3 tensors → (beta, mean, var)
+        and scale fixed at 1 (slim's `scale=False` freeze), 4 →
+        (gamma, beta, mean, var);
       * the single 2-D const is the fc1 kernel (TF (in,out) = flax);
       * conv biases are assumed absent (every conv is BN-followed);
         flax bias leaves stay zero.
@@ -79,41 +86,74 @@ def import_tf_consts(consts, feature_dim: int = 128):
     """
     import numpy as np
 
-    seq = [np.asarray(v, np.float32) for v in consts.values()
+    seq = [(name, np.asarray(v, np.float32)) for name, v in consts.items()
            if np.asarray(v).ndim in (1, 2, 4)]
     pos = 0
+
+    def scope(name):
+        return name.rsplit("/", 1)[0] if "/" in name else ""
 
     def take_kernel(shape):
         nonlocal pos
         assert pos < len(seq), f"ran out of consts at kernel {shape}"
-        if seq[pos].ndim == 1:
+        name, k = seq[pos]
+        if k.ndim == 1:
             raise ValueError(
-                f"unexpected 1-D const at position {pos} "
-                f"(len {seq[pos].shape[0]}) while looking for kernel "
-                f"{shape}")
-        k = seq[pos]
-        assert tuple(k.shape) == tuple(shape), (pos, k.shape, shape)
+                f"unexpected 1-D const {name!r} at position {pos} "
+                f"(len {k.shape[0]}) while looking for kernel {shape}")
+        assert tuple(k.shape) == tuple(shape), (pos, name, k.shape, shape)
         pos += 1
         return jnp.asarray(k)
 
     def take_bn(width):
         nonlocal pos
         group = []
-        while (pos < len(seq) and seq[pos].ndim == 1 and
-               seq[pos].shape[0] == width and len(group) < 4):
-            group.append(seq[pos])
+        group_scope = None
+        while pos < len(seq) and seq[pos][1].ndim == 1 and len(group) < 4:
+            name, arr = seq[pos]
+            if arr.shape[0] != width:
+                break
+            if group_scope is None:
+                group_scope = scope(name)
+            elif scope(name) != group_scope:
+                break                          # next BN's scope begins
+            group.append((name, arr))
             pos += 1
-        if len(group) == 3:
-            gamma = jnp.ones(width, jnp.float32)
-            beta, mean, var = (jnp.asarray(g) for g in group)
+        by_suffix = {}
+        leftovers = []
+        for name, arr in group:
+            low = name.rsplit("/", 1)[-1].lower()
+            for key, tags in (("scale", ("gamma",)), ("bias", ("beta",)),
+                              ("mean", ("mean",)), ("var", ("var",))):
+                if any(t in low for t in tags) and key not in by_suffix:
+                    by_suffix[key] = arr
+                    break
+            else:
+                leftovers.append(arr)
+        if len(by_suffix) + len(leftovers) != len(group):
+            raise AssertionError("bn grouping bookkeeping")
+        if len(by_suffix) == len(group) and len(group) in (3, 4):
+            gamma = by_suffix.get("scale")
+            beta, mean, var = (by_suffix.get(k) for k in
+                               ("bias", "mean", "var"))
+            if beta is None or mean is None or var is None:
+                raise ValueError(
+                    f"BatchNorm group {group_scope!r} missing "
+                    f"beta/mean/var (have {sorted(by_suffix)})")
+        elif len(group) == 3:                  # positional fallback
+            gamma = None
+            (_, beta), (_, mean), (_, var) = group
         elif len(group) == 4:
-            gamma, beta, mean, var = (jnp.asarray(g) for g in group)
+            (_, gamma), (_, beta), (_, mean), (_, var) = group
         else:
             raise ValueError(
                 f"expected BatchNorm group (3 or 4 1-D consts of len "
-                f"{width}) at position {pos}, got {len(group)}")
-        return ({"scale": gamma, "bias": beta},
-                {"mean": mean, "var": var})
+                f"{width}) in scope {group_scope!r} at position {pos}, "
+                f"got {len(group)}")
+        if gamma is None:
+            gamma = np.ones(width, np.float32)
+        return ({"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)},
+                {"mean": jnp.asarray(mean), "var": jnp.asarray(var)})
 
     params: dict = {}
     stats: dict = {}
@@ -158,6 +198,6 @@ def import_tf_consts(consts, feature_dim: int = 128):
 
     if pos != len(seq):
         raise ValueError(f"{len(seq) - pos} unconsumed consts "
-                         f"(first at position {pos}, shape "
-                         f"{seq[pos].shape})")
+                         f"(first: {seq[pos][0]!r} shape "
+                         f"{seq[pos][1].shape})")
     return {"params": params, "batch_stats": stats}

@@ -94,7 +94,7 @@ class R2Plus1D18(nn.Module):
         return nn.Dense(self.num_classes)(h)
 
 
-def import_torch_state_dict(state_dict, blocks: tuple = R2PLUS1D18_BLOCKS):
+def import_torch_state_dict(state_dict):
     """torchvision `r2plus1d_18` state_dict → flax variables.
 
     The weight-import path for the baseline's ig65m/kinetics pretrain
@@ -162,7 +162,7 @@ def import_torch_state_dict(state_dict, blocks: tuple = R2PLUS1D18_BLOCKS):
                 bp, bs = bn(t + ".downsample.1")
                 put(f + ("BatchNorm_2",), bp, bs)
             idx += 1
-    assert idx == len(blocks), (idx, len(blocks))
+    assert idx == len(R2PLUS1D18_BLOCKS)  # importer is 18-layer-specific
 
     put(("Dense_0",), {"kernel": jnp.asarray(arr("fc.weight").T),
                        "bias": jnp.asarray(arr("fc.bias"))})

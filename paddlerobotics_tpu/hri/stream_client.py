@@ -16,14 +16,37 @@ from typing import Iterator, Optional
 import numpy as np
 
 
-class GreetingStreamClient:
+class _FramedClient:
+    """Shared socket plumbing for the length-prefixed protocol."""
+
+    def __init__(self, host: str, port: int, timeout: float):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("stream closed")
+            buf += chunk
+        return buf
+
+    def close(self):
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self.sock.close()
+
+
+class GreetingStreamClient(_FramedClient):
     """Streams VideoRequests to a running StreamServer and reads
     InferResponse JSONs."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 9310,
                  timeout: float = 10.0):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
-        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        super().__init__(host, port, timeout)
 
     def send_frame(self, req_id: int, pixels: np.ndarray,
                    lag_ms: int = 0, wakeup: str = "") -> None:
@@ -36,14 +59,6 @@ class GreetingStreamClient:
                 struct.pack("<I", px.size) + px.tobytes())
         self.sock.sendall(struct.pack("<I", len(body)) + body)
 
-    def _read_exact(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("stream closed")
-            buf += chunk
-        return buf
 
     def read_response(self) -> dict:
         """Blocking read of one InferResponse → parsed JSON dict."""
@@ -58,15 +73,8 @@ class GreetingStreamClient:
         while True:
             yield self.read_response()
 
-    def close(self):
-        try:
-            self.sock.shutdown(socket.SHUT_RDWR)
-        except OSError:
-            pass
-        self.sock.close()
 
-
-class EvalStreamClient:
+class EvalStreamClient(_FramedClient):
     """Unary client for the native offline EvalServer
     (runtime_cpp/eval_server.cpp): EvalRequest{nframe, frames} →
     EvalResponse{response, response_score, trigger_pred, nullact_score,
@@ -75,8 +83,7 @@ class EvalStreamClient:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 9311,
                  timeout: float = 30.0):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
-        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        super().__init__(host, port, timeout)
 
     def infer(self, frames) -> dict:
         """frames: sequence of float32 letterboxed RGB arrays in [0,1]
@@ -102,18 +109,4 @@ class EvalStreamClient:
             "nullact_id": nullact_id,
         }
 
-    def _read_exact(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("stream closed")
-            buf += chunk
-        return buf
 
-    def close(self):
-        try:
-            self.sock.shutdown(socket.SHUT_RDWR)
-        except OSError:
-            pass
-        self.sock.close()

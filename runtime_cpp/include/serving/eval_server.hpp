@@ -82,6 +82,7 @@ class EvalServer {
   EvalConfig cfg_;
   uint16_t port_;
   int listen_fd_ = -1;
+  std::atomic<int> client_fd_{-1};   // live connection, for Stop()
   std::atomic<bool> running_{false};
   std::thread accept_thread_;
 };

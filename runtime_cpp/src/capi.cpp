@@ -31,6 +31,26 @@ typedef void (*AttendEvalFn)(const float* tokens, const int* valid,
 
 namespace {
 
+// Pack a frame window into the flat (F*K*562) token + (F*K) valid
+// buffers both attend callbacks consume.
+void FlattenWindow(const std::deque<FrameInstances>& window,
+                   std::vector<float>& tokens, std::vector<int>& valid) {
+  tokens.assign(kNumFrames * kMaxInstances * kTokenDim, 0.f);
+  valid.assign(kNumFrames * kMaxInstances, 0);
+  int f = 0;
+  for (const auto& fr : window) {
+    for (size_t k = 0; k < fr.instances.size() && k < kMaxInstances;
+         ++k) {
+      size_t base = (static_cast<size_t>(f) * kMaxInstances + k);
+      std::memcpy(tokens.data() + base * kTokenDim,
+                  fr.instances[k].token.data(),
+                  kTokenDim * sizeof(float));
+      valid[base] = fr.instances[k].valid ? 1 : 0;
+    }
+    ++f;
+  }
+}
+
 class CallbackBackend : public InferBackend {
  public:
   CallbackBackend(DetectFn d, AttendFn a) : detect_(d), attend_(a) {}
@@ -59,24 +79,9 @@ class CallbackBackend : public InferBackend {
   }
 
   AttnResult Attend(const std::deque<FrameInstances>& window) override {
-    static thread_local std::vector<float> tokens(
-        kNumFrames * kMaxInstances * kTokenDim, 0.f);
-    static thread_local std::vector<int> valid(kNumFrames * kMaxInstances,
-                                               0);
-    std::fill(tokens.begin(), tokens.end(), 0.f);
-    std::fill(valid.begin(), valid.end(), 0);
-    int f = 0;
-    for (const auto& fr : window) {
-      for (size_t k = 0; k < fr.instances.size() && k < kMaxInstances;
-           ++k) {
-        size_t base = (static_cast<size_t>(f) * kMaxInstances + k);
-        std::memcpy(tokens.data() + base * kTokenDim,
-                    fr.instances[k].token.data(),
-                    kTokenDim * sizeof(float));
-        valid[base] = fr.instances[k].valid ? 1 : 0;
-      }
-      ++f;
-    }
+    static thread_local std::vector<float> tokens;
+    static thread_local std::vector<int> valid;
+    FlattenWindow(window, tokens, valid);
     AttnResult r;
     float obj[kMaxInstances] = {0};
     attend_(tokens.data(), valid.data(), &r.trigger, obj, &r.action_id);
@@ -98,24 +103,9 @@ class EvalCallbackBackend : public CallbackBackend {
       : CallbackBackend(d, nullptr), attend_eval_(a), num_act_(num_act) {}
 
   AttnResult Attend(const std::deque<FrameInstances>& window) override {
-    static thread_local std::vector<float> tokens(
-        kNumFrames * kMaxInstances * kTokenDim, 0.f);
-    static thread_local std::vector<int> valid(kNumFrames * kMaxInstances,
-                                               0);
-    std::fill(tokens.begin(), tokens.end(), 0.f);
-    std::fill(valid.begin(), valid.end(), 0);
-    int f = 0;
-    for (const auto& fr : window) {
-      for (size_t k = 0; k < fr.instances.size() && k < kMaxInstances;
-           ++k) {
-        size_t base = (static_cast<size_t>(f) * kMaxInstances + k);
-        std::memcpy(tokens.data() + base * kTokenDim,
-                    fr.instances[k].token.data(),
-                    kTokenDim * sizeof(float));
-        valid[base] = fr.instances[k].valid ? 1 : 0;
-      }
-      ++f;
-    }
+    static thread_local std::vector<float> tokens;
+    static thread_local std::vector<int> valid;
+    FlattenWindow(window, tokens, valid);
     AttnResult r;
     float obj[kMaxInstances] = {0};
     r.act_scores.assign(num_act_, 0.f);

@@ -77,6 +77,11 @@ void EvalServer::Stop() {
     ::close(listen_fd_);
     listen_fd_ = -1;
   }
+  // unblock a recv() on the active client connection, or Stop() (and
+  // the destructor / eval_server_destroy) would hang until the client
+  // goes away on its own
+  int cfd = client_fd_.exchange(-1);
+  if (cfd >= 0) ::shutdown(cfd, SHUT_RDWR);
   if (accept_thread_.joinable()) accept_thread_.join();
 }
 
@@ -89,7 +94,9 @@ void EvalServer::AcceptLoop() {
     // Offline eval is synchronous unary RPC — serve requests in order
     // on this connection (eval clients fan out across processes, not
     // in-connection pipelining: parallel_eval.py one stub per worker).
+    client_fd_.store(fd);
     ServeConnection(fd);
+    client_fd_.store(-1);
     ::shutdown(fd, SHUT_RDWR);
     ::close(fd);
   }
@@ -102,7 +109,10 @@ void EvalServer::ServeConnection(int fd) {
     if (len < 5 || len > (256u << 20)) return;  // sanity cap
     std::vector<uint8_t> payload(len);
     if (!ReadAll(fd, payload.data(), len)) return;
-    if (payload[0] != 3) continue;  // only EvalRequest inbound
+    // Only EvalRequest is valid inbound; closing on anything else
+    // fails a confused unary client fast instead of leaving it
+    // blocked on a reply that will never come.
+    if (payload[0] != 3) return;
     size_t off = 1;
     int32_t nframe = 0;
     if (payload.size() < off + 4) return;

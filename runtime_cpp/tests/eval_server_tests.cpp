@@ -8,6 +8,7 @@
 #include <unistd.h>
 
 #include <cassert>
+#include <chrono>
 #include <cstdio>
 #include <cstring>
 #include <memory>
@@ -203,9 +204,34 @@ static void TestTransport() {
   server.Stop();
 }
 
+static void TestStopWithIdleClient() {
+  // Stop() must return promptly even while a client connection is open
+  // and idle (the accept thread is blocked in recv on it).
+  auto backend = std::make_shared<StubEvalBackend>();
+  EvalServer server(backend, {}, EvalConfig{}, 0);
+  server.Start();
+  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons(server.port());
+  CHECK(::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) ==
+        0);
+  // give the accept thread time to enter recv()
+  usleep(50 * 1000);
+  auto t0 = std::chrono::steady_clock::now();
+  server.Stop();
+  double dt = std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+  CHECK(dt < 1.0);
+  ::close(fd);
+}
+
 int main() {
   TestScoreWindow();
   TestTransport();
+  TestStopWithIdleClient();
   if (g_failures == 0) std::printf("eval_server_tests: all passed\n");
   return g_failures == 0 ? 0 : 1;
 }

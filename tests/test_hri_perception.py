@@ -187,9 +187,22 @@ def test_tf_graph_const_roundtrip_and_reid_import():
     rng = np.random.RandomState(1)
     variables = m.init(jax.random.key(0), jnp.zeros((1, 128, 64, 3)),
                        False)
-    variables = jax.tree_util.tree_map(
-        lambda a: jnp.asarray(rng.uniform(0.05, 1.0, a.shape), a.dtype),
-        variables)
+
+    def randomize(path, a):
+        # keep the net in a non-saturating regime so the forward is
+        # informative (a previous version drew everything from
+        # U(0.05,1) which saturated to an all-zero output and made the
+        # comparison vacuous)
+        name = path[-1].key
+        if name in ("mean", "bias"):
+            return jnp.asarray(rng.normal(0, 0.1, a.shape), a.dtype)
+        if name in ("var",):
+            return jnp.asarray(rng.uniform(0.8, 1.2, a.shape), a.dtype)
+        if name == "scale":
+            return jnp.asarray(rng.uniform(0.9, 1.1, a.shape), a.dtype)
+        return jnp.asarray(rng.normal(0, 0.08, a.shape), a.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(randomize, variables)
 
     p, s = variables["params"], variables["batch_stats"]
 
@@ -245,10 +258,13 @@ def test_tf_graph_const_roundtrip_and_reid_import():
 
     x = jnp.asarray(np.random.RandomState(2).rand(2, 128, 64, 3),
                     jnp.float32)
-    ref = m.apply(zeroed, x, False)
-    got = m.apply(imported, x, False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=1e-5)
+    ref = np.asarray(m.apply(zeroed, x, False))
+    got = np.asarray(m.apply(imported, x, False))
+    # the forward must be non-degenerate, or the comparison proves
+    # nothing (unit-norm features that differ across inputs)
+    assert np.abs(ref).max() > 0.1
+    assert np.abs(ref[0] - ref[1]).max() > 1e-4
+    np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
 def test_ernie_paddle_import_roundtrip(tmp_path):
