@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--RNN_mode", type=str, default="None")
     p.add_argument("--enable_action_filter", type=int, default=0)
     p.add_argument("--ES", type=int, default=1)
+    p.add_argument("--ES_every", type=int, default=50_000,
+                   help="env steps between ES phases (reference "
+                        "constant 5e4, train.py:457 — a SINGLE-env "
+                        "cadence; at large --num_envs this fires every "
+                        "few batched steps and ES rollouts dominate "
+                        "wall-clock. Scale it with B — e.g. 400*B keeps "
+                        "the ES:SAC wall ratio near the reference's "
+                        "data ratio)")
     p.add_argument("--es_rpm", type=int, default=1)
     p.add_argument("--x_noise", type=int, default=0)
     # TPU-native additions
@@ -160,6 +168,7 @@ def config_from_args(args) -> QuadrupedConfig:
                         step_width=args.step_width, slope=args.slope),
         es=ESConfig(popsize=args.popsize if args.ES else 0,
                     sigma_init=args.sigma, sigma_decay=args.sigma_decay,
+                    es_every_steps=args.ES_every,
                     es_rpm=bool(args.es_rpm)),
         train=TrainConfig(max_steps=args.max_steps, e_step=args.e_step,
                           act_mode=args.act_mode, act_bound=args.act_bound,
