@@ -117,6 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--dr_curriculum_steps")
     p.add_argument("--dr_success_lo", type=float, default=0.30)
     p.add_argument("--dr_success_hi", type=float, default=0.50)
+    p.add_argument("--beam_width", type=float, default=0.30,
+                   help="balance_beam plank width (m); pair with a "
+                        "narrow --step_y (README.md:65)")
     p.add_argument("--terrain_start", type=float, default=0.5,
                    help="flat run-in before the terrain feature (m)")
     p.add_argument("--step_height", type=float, default=0.08)
@@ -165,7 +168,8 @@ def config_from_args(args) -> QuadrupedConfig:
         task=TaskConfig(task_mode=args.task_mode,
                         terrain_start=args.terrain_start,
                         step_height=args.step_height,
-                        step_width=args.step_width, slope=args.slope),
+                        step_width=args.step_width, slope=args.slope,
+                        beam_width=args.beam_width),
         es=ESConfig(popsize=args.popsize if args.ES else 0,
                     sigma_init=args.sigma, sigma_decay=args.sigma_decay,
                     es_every_steps=args.ES_every,

@@ -253,12 +253,19 @@ class TaskConfig:
     (ETGRL/README.md "nine tasks"; grids at train.py:48-50)."""
 
     task_mode: str = "ground"   # ground|up_slope|down_slope|up_stair|down_stair|
-                                # stairstair|slopeslope|obstacle|gallop
+                                # stairstair|slopeslope|obstacle|gallop|
+                                # balance_beam
     step_height: float = 0.08   # stairs rise  (train.py STEP_HEIGHT grid)
     step_width: float = 0.3     # stairs run   (train.py STEP_WIDTH grid)
     slope: float = 0.2          # slope gradient (train.py SLOPE grid)
     terrain_start: float = 0.5  # flat run-in before the feature starts (m)
                                 # (0.5 m = the validated stairs recipe)
+    beam_width: float = 0.30    # balance-beam plank width (m); the
+                                # reference's step_y flag exists "for
+                                # balance beam task" (README.md:65) —
+                                # the narrow stance keeps feet on the
+                                # plank
+    beam_length: float = 3.0    # plank length before solid ground resumes
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,7 @@ TASK_MODES = (
     "ground", "gallop",
     "up_slope", "down_slope", "slopeslope",
     "up_stair", "down_stair", "stairstair",
-    "obstacle",
+    "obstacle", "balance_beam",
 )
 
 _NUM_STEPS = 10      # steps in a staircase before plateau
@@ -85,6 +85,16 @@ def height_fn(task: TaskConfig) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndar
             present = (r > 0.55) & (gx >= 0)
             hgt = sh * (0.5 + 0.5 * _hash01(gy + 7, gx + 13))
             return jnp.where(present, hgt, 0.0)
+    elif mode == "balance_beam":
+        # Narrow plank, level with the approach, spanning a drop
+        # (ETGRL/README.md:65 — step_y narrows the stance to keep feet
+        # on it; gif bottom row). Stepping off the plank falls 0.5 m →
+        # the normal fall-termination rules end the episode.
+        bw, bl = task.beam_width, task.beam_length
+        def h(x, y):
+            over_gap = (x >= x0) & (x < x0 + bl)
+            on_beam = jnp.abs(y) <= bw / 2
+            return jnp.where(over_gap & ~on_beam, -0.5, 0.0)
     return h
 
 
