@@ -13,7 +13,8 @@ import os
 import time
 import traceback
 
-from paddlerobotics_tpu.core.config import (QuadrupedConfig, SACConfig,
+from paddlerobotics_tpu.core.config import (ESConfig, ETGConfig,
+                                            QuadrupedConfig, SACConfig,
                                             TaskConfig, TrainConfig)
 from paddlerobotics_tpu.sim.terrain import TASK_MODES
 from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
@@ -23,10 +24,19 @@ BUDGET = 20_000_000
 
 
 def run(mode: str):
+    # beam: wider plank + the stance the README's step_y flag is for
+    task_kw = dict(task_mode=mode)
+    etg = ETGConfig()
+    if mode == "balance_beam":
+        task_kw["beam_width"] = 0.4
     cfg = QuadrupedConfig(
         sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
         sac=SACConfig(warmup_steps=200_000),
-        task=TaskConfig(task_mode=mode),
+        # ES at the wall-ratio-preserving cadence (400*B, see
+        # docs/update_schedule.md addendum) so 10 tasks fit one sweep
+        es=ESConfig(es_every_steps=400 * B),
+        etg=etg,
+        task=TaskConfig(**task_kw),
         train=TrainConfig(num_envs=B, eval_every_steps=10_000_000,
                           e_step=400, eval_episode_len=400),
     )
