@@ -120,6 +120,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam_width", type=float, default=0.30,
                    help="balance_beam plank width (m); pair with a "
                         "narrow --step_y (README.md:65)")
+    p.add_argument("--beam_length", type=float, default=3.0,
+                   help="balance_beam plank length (m)")
     p.add_argument("--terrain_start", type=float, default=0.5,
                    help="flat run-in before the terrain feature (m)")
     p.add_argument("--step_height", type=float, default=0.08)
@@ -169,7 +171,8 @@ def config_from_args(args) -> QuadrupedConfig:
                         terrain_start=args.terrain_start,
                         step_height=args.step_height,
                         step_width=args.step_width, slope=args.slope,
-                        beam_width=args.beam_width),
+                        beam_width=args.beam_width,
+                        beam_length=args.beam_length),
         es=ESConfig(popsize=args.popsize if args.ES else 0,
                     sigma_init=args.sigma, sigma_decay=args.sigma_decay,
                     es_every_steps=args.ES_every,
@@ -185,6 +188,9 @@ def config_from_args(args) -> QuadrupedConfig:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.ES_every < 1:
+        raise SystemExit("--ES_every must be >= 1 (it divides the step "
+                         "counter; use --ES 0 to disable ES)")
     cfg = config_from_args(args)
     import os
 

@@ -25,7 +25,8 @@ def make_env(name: str = "Quadrupedal", *,
 
     Args:
       name: env family (only 'Quadrupedal', like the reference).
-      task: one of the nine terrain task modes.
+      task: one of the terrain task modes (sim/terrain.py TASK_MODES —
+        the reference's nine incl. the balance beam, + a gallop flat).
       config: full config (overrides task if its task_mode differs).
       **overrides: field overrides routed to the right sub-config, e.g.
         reward_p=5.0, vel_d=0.5, act_mode='traj', step_y=0.05.

@@ -88,13 +88,18 @@ def height_fn(task: TaskConfig) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndar
     elif mode == "balance_beam":
         # Narrow plank, level with the approach, spanning a drop
         # (ETGRL/README.md:65 — step_y narrows the stance to keep feet
-        # on it; gif bottom row). Stepping off the plank falls 0.5 m →
-        # the normal fall-termination rules end the episode.
+        # on it; gif bottom row). Off the plank the ground falls 0.5 m
+        # and keeps descending at 2:1 away from the beam — there is no
+        # walkable ditch floor (termination is terrain-relative, so a
+        # FLAT ditch would let a survivable lander run below the beam
+        # collecting progress reward; the steep side slope makes any
+        # off-beam landing a fall).
         bw, bl = task.beam_width, task.beam_length
         def h(x, y):
             over_gap = (x >= x0) & (x < x0 + bl)
-            on_beam = jnp.abs(y) <= bw / 2
-            return jnp.where(over_gap & ~on_beam, -0.5, 0.0)
+            off = jnp.maximum(jnp.abs(y) - bw / 2, 0.0)
+            drop = -0.5 - 2.0 * off
+            return jnp.where(over_gap & (off > 0), drop, 0.0)
     return h
 
 

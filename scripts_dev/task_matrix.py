@@ -13,9 +13,9 @@ import os
 import time
 import traceback
 
-from paddlerobotics_tpu.core.config import (ESConfig, ETGConfig,
-                                            QuadrupedConfig, SACConfig,
-                                            TaskConfig, TrainConfig)
+from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
+                                            SACConfig, TaskConfig,
+                                            TrainConfig)
 from paddlerobotics_tpu.sim.terrain import TASK_MODES
 from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
 
@@ -23,11 +23,11 @@ B = 4096
 BUDGET = 20_000_000
 
 
-def run(mode: str):
-    # beam: wider plank + the stance the README's step_y flag is for
+def run(mode: str, B: int = B, updates_per_step: int = 4,
+        suffix: str = ""):
     task_kw = dict(task_mode=mode)
-    etg = ETGConfig()
     if mode == "balance_beam":
+        # wider plank for the default stance (docs/task_matrix.md)
         task_kw["beam_width"] = 0.4
     cfg = QuadrupedConfig(
         sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
@@ -35,13 +35,14 @@ def run(mode: str):
         # ES at the wall-ratio-preserving cadence (400*B, see
         # docs/update_schedule.md addendum) so 10 tasks fit one sweep
         es=ESConfig(es_every_steps=400 * B),
-        etg=etg,
         task=TaskConfig(**task_kw),
         train=TrainConfig(num_envs=B, eval_every_steps=10_000_000,
                           e_step=400, eval_episode_len=400),
     )
-    outdir = f"/tmp/task_matrix/{mode}"
-    tr = ETGRLTrainer(cfg, num_envs=B, outdir=outdir, updates_per_step=4)
+    outdir = f"/tmp/task_matrix/{mode}{suffix}"
+    os.makedirs(outdir, exist_ok=True)
+    tr = ETGRLTrainer(cfg, num_envs=B, outdir=outdir,
+                      updates_per_step=updates_per_step)
     t0 = time.time()
     tr.train(max_steps=BUDGET, chunk_steps=50, checkpoint=False)
     wall = time.time() - t0
@@ -54,7 +55,7 @@ def run(mode: str):
         elif d["tag"] == "train/mean_success":
             succ.append(d["value"])
     tail = lambda xs: round(sum(xs[-8:]) / max(len(xs[-8:]), 1), 3)
-    return {"task": mode, "wall_s": round(wall, 1),
+    return {"task": mode + suffix, "wall_s": round(wall, 1),
             "final_velx": tail(velx), "final_success": tail(succ),
             "peak_velx": round(max(velx), 3)}
 

@@ -98,10 +98,14 @@ def test_balance_beam_terrain_and_walk():
     task = TaskConfig(task_mode="balance_beam", terrain_start=0.5,
                       beam_width=0.30, beam_length=3.0)
     h = terrain.height_fn(task)
-    # approach / plank center / gap / far side
+    # approach / plank center / gap (descending away — no walkable
+    # ditch floor) / far side
     assert float(h(jnp.asarray(0.0), jnp.asarray(0.0))) == 0.0
     assert float(h(jnp.asarray(1.0), jnp.asarray(0.0))) == 0.0
-    assert float(h(jnp.asarray(1.0), jnp.asarray(0.3))) == -0.5
+    assert float(h(jnp.asarray(1.0), jnp.asarray(0.3))) == pytest.approx(
+        -0.5 - 2.0 * 0.15)
+    assert float(h(jnp.asarray(1.0), jnp.asarray(0.6))) < float(
+        h(jnp.asarray(1.0), jnp.asarray(0.3)))
     assert float(h(jnp.asarray(4.0), jnp.asarray(0.3))) == 0.0
 
     def steps_survived(beam_width):
