@@ -32,19 +32,29 @@ class Actor(nn.Module):
 
 
 class Critic(nn.Module):
-    """Twin Q networks evaluated in one pass."""
+    """Twin Q networks evaluated in one pass.
+
+    `layer_norm=True` inserts LayerNorm before each hidden ReLU — the
+    standard plasticity/stability fix for high update-to-data ratios
+    (the reference's K=1-per-single-env-step regime maps to large K
+    here; docs/update_schedule.md finding 3 motivates it)."""
 
     hidden: int = 256
+    layer_norm: bool = False
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, act: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = jnp.concatenate([obs, act], axis=-1)
-        q1 = nn.relu(nn.Dense(self.hidden)(x))
-        q1 = nn.relu(nn.Dense(self.hidden)(q1))
+        # auto-named Dense_0..Dense_5 — keeps the default param tree (and
+        # round-2 checkpoints) unchanged; LN layers are additive names.
+        ln = (lambda h, i: nn.LayerNorm(name=f"LN_{i}")(h)) \
+            if self.layer_norm else (lambda h, i: h)
+        q1 = nn.relu(ln(nn.Dense(self.hidden)(x), 0))
+        q1 = nn.relu(ln(nn.Dense(self.hidden)(q1), 1))
         q1 = nn.Dense(1)(q1)
-        q2 = nn.relu(nn.Dense(self.hidden)(x))
-        q2 = nn.relu(nn.Dense(self.hidden)(q2))
+        q2 = nn.relu(ln(nn.Dense(self.hidden)(x), 2))
+        q2 = nn.relu(ln(nn.Dense(self.hidden)(q2), 3))
         q2 = nn.Dense(1)(q2)
         return q1, q2
 

@@ -46,7 +46,8 @@ class SAC:
         self.obs_dim = obs_dim
         self.action_dim = action_dim
         self.actor = actor or Actor(action_dim, hidden=cfg.hidden_dim)
-        self.critic = Critic(hidden=cfg.hidden_dim)
+        self.critic = Critic(hidden=cfg.hidden_dim,
+                             layer_norm=cfg.ln_critic)
         self.actor_tx = optax.adam(cfg.actor_lr)
         self.critic_tx = optax.adam(cfg.critic_lr)
         self.alpha_tx = optax.adam(cfg.alpha_lr)
@@ -67,6 +68,20 @@ class SAC:
             critic_opt=self.critic_tx.init(critic_params),
             log_alpha=log_alpha,
             alpha_opt=self.alpha_tx.init(log_alpha))
+
+    def reset_critic(self, state: SACState, rng: jax.Array) -> SACState:
+        """Full critic re-initialization (primacy-bias reset): fresh twin-Q
+        params, target copy, and optimizer state; the actor (and the
+        replay buffer, held by the caller) are untouched. Mitigates the
+        high-update-ratio plasticity loss of docs/update_schedule.md
+        finding 3; gated by SACConfig.critic_reset_steps."""
+        obs = jnp.zeros((1, self.obs_dim))
+        act = jnp.zeros((1, self.action_dim))
+        critic_params = self.critic.init(rng, obs, act)
+        return state._replace(
+            critic_params=critic_params,
+            target_critic_params=jax.tree.map(lambda x: x, critic_params),
+            critic_opt=self.critic_tx.init(critic_params))
 
     # -- inference ------------------------------------------------------------
 

@@ -90,10 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reaches success-velocity in <2M env steps — "
                         "docs/update_schedule.md")
     p.add_argument("--chunk_steps", type=int, default=50)
-    p.add_argument("--mesh", type=int, default=0,
-                   help="shard envs/replay over ALL visible devices "
-                        "(jax.sharding Mesh; XLA compiles the gradient "
-                        "allreduce — the Fleet-NCCL equivalent)")
+    p.add_argument("--mesh", type=str, default="0",
+                   help="device mesh: 0 = off, 1 = all devices on the "
+                        "env (dp) axis, or 'NxM' = N-way env dp × M-way "
+                        "model tensor-parallel (Megatron-layout MLP "
+                        "shards, psum compiled by XLA — the Fleet-NCCL "
+                        "equivalent)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=1,
                    help="VMEM physics megakernel (TPU only; ~4x)")
@@ -129,6 +131,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--slope", type=float, default=0.2)
     p.add_argument("--ETG_path", type=str, default="None",
                    help="npz with pretrained ETG 'param' (train.py:281)")
+    p.add_argument("--ln_critic", type=int, default=0,
+                   help="LayerNorm critics — plasticity stabilizer for "
+                        "high --updates_per_step schedules "
+                        "(docs/update_schedule.md finding 3)")
+    p.add_argument("--critic_reset_steps", type=int, default=0,
+                   help="re-initialize critic+target+opt every N env "
+                        "steps (primacy-bias reset; 0 = never)")
     return p
 
 
@@ -139,7 +148,10 @@ def config_from_args(args) -> QuadrupedConfig:
         jax.default_backend() != "cpu"
     return QuadrupedConfig(
         sim=SimConfig(use_pallas=use_pallas),
-        sac=SACConfig(warmup_steps=args.warmup_steps),
+        sac=SACConfig(warmup_steps=args.warmup_steps,
+                      ln_critic=bool(getattr(args, "ln_critic", 0)),
+                      critic_reset_steps=getattr(args, "critic_reset_steps",
+                                                 0)),
         sensors=SensorConfig(
             dis=bool(args.sensor_dis), motor=args.sensor_motor,
             imu=args.sensor_imu, contact=bool(args.sensor_contact),
@@ -198,15 +210,24 @@ def main(argv=None):
 
     outdir = os.path.join(args.outdir, args.suffix)
     mesh = None
-    if args.mesh:
+    if args.mesh not in ("0", "", "none"):
         import jax
 
         from paddlerobotics_tpu.parallel import sharding as sh
 
         n = len(jax.devices())
-        mesh = sh.make_mesh(n_env=n, n_model=1)
-        print(f"mesh training over {n} device(s): env axis dp, "
-              f"replay rows sharded, gradient psum compiled by XLA")
+        if "x" in args.mesh:
+            n_env, n_model = (int(v) for v in args.mesh.split("x"))
+            if n_env * n_model > n:
+                raise SystemExit(f"--mesh {args.mesh} needs "
+                                 f"{n_env * n_model} devices, have {n}")
+        else:
+            n_env, n_model = n, 1
+        mesh = sh.make_mesh(n_env=n_env, n_model=n_model,
+                            devices=jax.devices()[:n_env * n_model])
+        print(f"mesh training over {n_env}x{n_model} device(s): env axis "
+              f"dp, model axis tp, replay rows sharded, collectives "
+              f"compiled by XLA")
     trainer = ETGRLTrainer(cfg, num_envs=args.num_envs, outdir=outdir,
                            updates_per_step=args.updates_per_step,
                            mesh=mesh)

@@ -193,6 +193,14 @@ class SimConfig:
     # buffer holds `latency_buffer_len` past substep snapshots.
     control_latency: float = 0.002
     latency_buffer_len: int = 32   # covers the 0–80 ms randomization range
+    # Sensor latency applied to the PD loop's (q, q̇) input — the
+    # reference's `pd_latency` (minitaur.py:100, default 0.0). A1 never
+    # overrides it (a1.py:225-273 passes no pd_latency), so the reference
+    # PD acts on the CURRENT pre-substep state; `control_latency` delays
+    # only the POLICY observation (_GetControlObservation vs
+    # _GetPDObservation, minitaur.py:1195-1205). Static (not randomized —
+    # train.py:112-126 randomizes control_latency only).
+    pd_latency: float = 0.0
     # Motor-command clipping (a1.py:62: ±0.2 rad change per step).
     enable_clip_motor_commands: bool = False
     max_motor_angle_change: float = 0.2
@@ -287,6 +295,13 @@ class SACConfig:
     hidden_dim: int = 256
     log_sig_min: float = -20.0
     log_sig_max: float = 2.0
+    # Plasticity stabilizers for high update-to-data schedules
+    # (docs/update_schedule.md finding 3: B=256/K=64 and K=256 peak near
+    # 5M steps then decay). Off by default — reference parity.
+    ln_critic: bool = False            # LayerNorm before each critic ReLU
+    critic_reset_steps: int = 0        # full critic+target+opt re-init
+                                       # every N env steps (primacy-bias
+                                       # reset; 0 = never)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,10 +49,14 @@ class RobotState:
     and filter state."""
 
     state: QuadState
-    # Ring buffer of (q, qd) substep snapshots for observation latency,
-    # newest at index 0. Shapes (L,12).
+    # Ring buffers of substep snapshots for observation latency, newest at
+    # index 0 (minitaur._observation_history holds q, qd, quat and
+    # rpy-rate together; split into typed leaves here). Shapes (L,12),
+    # (L,12), (L,4), (L,3).
     q_hist: jnp.ndarray
     qd_hist: jnp.ndarray
+    quat_hist: jnp.ndarray
+    w_hist: jnp.ndarray
     last_action: jnp.ndarray        # (12,) last motor command
     applied_torque: jnp.ndarray     # (12,) torques applied at last substep
     contact: ContactState

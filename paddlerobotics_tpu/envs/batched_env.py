@@ -99,10 +99,6 @@ class BatchedQuadrupedEnv:
             # map to  offset + bound·a : position residual ±act_bound
             # around init+ETG (as in traj mode), gains centered on the A1
             # defaults, velocity target ±2 rad/s, feedforward ±5 N·m.
-            if config.sim.use_pallas:
-                raise ValueError("act_mode='hybrid' is not supported by "
-                                 "the Pallas megakernel; set use_pallas="
-                                 "False")
             kp0 = np.asarray(a1.MOTOR_KP, np.float32)
             kd0 = np.asarray(a1.MOTOR_KD, np.float32)
             self.act_bound = np.stack([
@@ -243,19 +239,25 @@ class BatchedQuadrupedEnv:
         Rb = sbatch.quat_to_mat_cols(s.quat)
         from paddlerobotics_tpu.ops import smallalg as sa
         vel_w = sa.mv(Rb, [s.v[0], s.v[1], s.v[2]])   # world base velocity
-        # rpy from quaternion (spawn rpy = 0)
-        qw, qx, qy, qz = s.quat[0], s.quat[1], s.quat[2], s.quat[3]
+        # The reference delays the FULL policy observation — q, qd, base
+        # quat and rpy-rate — at control_latency over the substep-
+        # resolution ring (_GetControlObservation:1202-1205;
+        # GetBaseRollPitchYaw:623-638, GetMotorAngles:753-763).
+        q_obs, qd_obs, quat_obs, drpy = sbatch.delayed_obs(
+            rb, state.dyn.control_latency, self.cfg.sim.substep_dt)
+        # rpy from the delayed quaternion (spawn rpy = 0); renormalize the
+        # linear blend as pybullet's getEulerFromQuaternion does.
+        inv_n = jax.lax.rsqrt(jnp.sum(quat_obs * quat_obs, axis=0) + 1e-12)
+        qw, qx, qy, qz = (quat_obs[0] * inv_n, quat_obs[1] * inv_n,
+                          quat_obs[2] * inv_n, quat_obs[3] * inv_n)
         roll = jnp.arctan2(2 * (qw * qx + qy * qz),
                            1 - 2 * (qx * qx + qy * qy))
         pitch = jnp.arcsin(jnp.clip(2 * (qw * qy - qz * qx), -1.0, 1.0))
         yaw = jnp.arctan2(2 * (qw * qz + qx * qy),
                           1 - 2 * (qy * qy + qz * qz))
-        q_obs, qd_obs = sbatch.delayed_obs(
-            rb, state.dyn.control_latency, self.cfg.sim.control_dt)
 
         vel_s = jnp.stack(vel_w)
         rpy = jnp.stack([roll, pitch, yaw])
-        drpy = s.w
         if cfg.noise:
             # Per-channel noise on RAW values before normalization —
             # identical stds to the per-env path (sensors.NOISE_STD,
@@ -395,8 +397,10 @@ class BatchedQuadrupedEnv:
 
             rb = control_step_pallas(
                 state.robot, cmd, dyn_phys, cfg.sim, self.h_fn,
-                torque_mode=self.torque_mode,
-                block_b=min(cfg.sim.pallas_block, self.B))
+                torque_mode=self.torque_mode, qd_ref=qd_ref, tau_ff=tau_ff,
+                block_b=min(cfg.sim.pallas_block, self.B),
+                # off-TPU (CI/CPU) the megakernel runs in interpret mode
+                interpret=jax.default_backend() != "tpu")
         else:
             rb = sbatch.control_step(
                 state.robot, cmd, dyn_phys, cfg.sim, self.h_fn,

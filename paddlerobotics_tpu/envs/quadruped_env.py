@@ -173,11 +173,20 @@ class QuadrupedEnv:
         st = rb.state
         R_b = math3d.quat_to_mat(st.base_quat)
         base_vel_w = R_b @ st.base_lin_vel
-        rpy = math3d.quat_to_euler(st.base_quat) - state.init_rpy
-        drpy = st.base_ang_vel
-        q_obs, qd_obs = robot_mod.delayed_motor_obs(
-            rb.q_hist, rb.qd_hist, state.dyn.control_latency,
-            self.cfg.sim.substep_dt)
+        # The reference delays the FULL policy observation — q, qd, base
+        # quat and rpy-rate together — at control_latency over the substep
+        # ring (_GetControlObservation:1202-1205 reading GetTrueObservation
+        # entries; GetBaseRollPitchYaw:623-638 / GetMotorAngles:753-763).
+        sdt = self.cfg.sim.substep_dt
+        lat = state.dyn.control_latency
+        q_obs = robot_mod.delayed_interp(rb.q_hist, lat, sdt)
+        qd_obs = robot_mod.delayed_interp(rb.qd_hist, lat, sdt)
+        quat_obs = robot_mod.delayed_interp(rb.quat_hist, lat, sdt)
+        # pybullet's getEulerFromQuaternion normalizes; the linear blend
+        # above shrinks the norm slightly, so renormalize before euler.
+        quat_obs = quat_obs / jnp.linalg.norm(quat_obs)
+        rpy = math3d.quat_to_euler(quat_obs) - state.init_rpy
+        drpy = robot_mod.delayed_interp(rb.w_hist, lat, sdt)
         foot_pose = None
         if cfg.footpose:
             foot_pose = a1.foot_positions_in_base_frame(st.q)

@@ -220,3 +220,55 @@ class NativeEvalServer:
         if self._handle:
             self._lib.eval_server_destroy(self._handle)
             self._handle = None
+
+
+_CLIP_SCORE_FN = ctypes.CFUNCTYPE(
+    None, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ctypes.POINTER(ctypes.c_int))
+
+CLIP_LEN = 8     # OB_WINDOW_LEN, jetson/eval_r2plus1d.cpp:47
+CLIP_RES = 224   # IMG_RESIZE, eval_r2plus1d.cpp:43
+
+
+class NativeClipEvalServer:
+    """Python handle on the C++ EvalServer's R(2+1)D variant
+    (runtime_cpp/eval_server.cpp ScoreClip — the native counterpart of
+    jetson/eval_r2plus1d.cpp's EvalServiceImpl/infer). The clip
+    preprocessing (416-letterbox → 224 CHW Kinetics-normalized),
+    windowing, null-action rule and transport are native; the scoring
+    callback is the JAX R(2+1)D program (hri/r2plus1d.py). Client:
+    hri.stream_client.EvalStreamClient (same wire format)."""
+
+    def __init__(self,
+                 score: "Callable[[np.ndarray], tuple]",
+                 num_act: int,
+                 port: int = 0,
+                 lib_path: Optional[str] = None):
+        """score(clip (CLIP_LEN,3,224,224) float32) →
+        (act_scores (num_act,), sampled_id)."""
+        self._lib = ctypes.CDLL(lib_path or _find_lib())
+        self._lib.eval_server_create_r2p1d.restype = ctypes.c_void_p
+        self._lib.eval_server_create_r2p1d.argtypes = [
+            _CLIP_SCORE_FN, ctypes.c_int, ctypes.c_ushort]
+        self._lib.eval_server_port.argtypes = [ctypes.c_void_p]
+        self._lib.eval_server_port.restype = ctypes.c_int
+        self._lib.eval_server_destroy.argtypes = [ctypes.c_void_p]
+
+        def _score_cb(clip, act_scores, sampled_id):
+            c = np.ctypeslib.as_array(
+                clip, (CLIP_LEN, 3, CLIP_RES, CLIP_RES)).copy()
+            acts, sid = score(c)
+            acts = np.asarray(acts, np.float32)[:num_act]
+            np.ctypeslib.as_array(
+                act_scores, (num_act,))[: acts.size] = acts
+            sampled_id[0] = int(sid)
+
+        self._score_cb = _CLIP_SCORE_FN(_score_cb)
+        self._handle = self._lib.eval_server_create_r2p1d(
+            self._score_cb, num_act, port)
+        self.port = int(self._lib.eval_server_port(self._handle))
+
+    def close(self):
+        if self._handle:
+            self._lib.eval_server_destroy(self._handle)
+            self._handle = None

@@ -96,11 +96,18 @@ class EvalStreamClient(_FramedClient):
         self.sock.sendall(struct.pack("<I", len(body)) + body)
 
         (plen,) = struct.unpack("<I", self._read_exact(4))
+        if plen < 21:
+            raise ConnectionError(
+                f"truncated EvalResponse: {plen} bytes (header is 21)")
         payload = self._read_exact(plen)
         if payload[0] != 4:
             raise ValueError(f"unexpected message type {payload[0]}")
         response_score, trigger_pred, nullact_score, nullact_id, jlen = \
             struct.unpack("<fffiI", payload[1:21])
+        if 21 + jlen > plen:
+            raise ConnectionError(
+                f"truncated EvalResponse json: {jlen} bytes declared, "
+                f"{plen - 21} present")
         return {
             "response": json.loads(payload[21:21 + jlen].decode("utf-8")),
             "response_score": response_score,

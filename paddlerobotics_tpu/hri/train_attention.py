@@ -52,6 +52,13 @@ def synthetic_batch(cfg: "AttnCtrlConfig", rng, batch_size: int) -> dict:
     if cfg.inputs_type == "visual_token":
         batch["visual_tokens"] = jnp.asarray(
             rng.randn(B, T, cfg.visual_token_dim), jnp.float32)
+    elif cfg.inputs_type == "inst_crop":
+        batch["inst_crop_feat"] = jnp.asarray(
+            rng.randn(B, T, 1280), jnp.float32)
+        batch["inst_cls"] = jnp.asarray(
+            rng.randn(B, T, cfg.inst_cls_dim), jnp.float32)
+        batch["inst_pos_emb"] = jnp.asarray(
+            rng.randn(B, T, cfg.inst_pos_dim), jnp.float32)
     else:
         if cfg.inputs_type != "without_inst_fm":
             batch["inst_fm"] = jnp.asarray(
@@ -101,8 +108,15 @@ class AttentionTrainer:
         """Extract this variant's token tensors from a batch — selected
         by inputs_type, NOT by presence, so a shared batch carrying
         every key (one reader feeding the whole ablation fleet) feeds
-        each variant only what its params expect."""
-        return {k: batch[k] for k in self._variant_keys() if k in batch}
+        each variant only what its params expect. A missing required key
+        raises (silently dropping one would route the model through the
+        wrong token pathway)."""
+        missing = [k for k in self._variant_keys() if k not in batch]
+        if missing:
+            raise KeyError(
+                f"batch lacks token keys {missing} required by "
+                f"inputs_type={self.cfg.inputs_type!r}")
+        return {k: batch[k] for k in self._variant_keys()}
 
     def dummy_tokens(self, batch_size: int = 1) -> dict:
         """Zero tokens matching cfg.inputs_type (for init/templates)."""
@@ -111,6 +125,15 @@ class AttentionTrainer:
         if cfg.inputs_type == "visual_token":
             return {"visual_tokens":
                     jnp.zeros((batch_size, T, cfg.visual_token_dim))}
+        if cfg.inputs_type == "inst_crop":
+            # pre-extracted MobileNetV2 pooled features (1280-d) of the
+            # instance crops (reference feeds raw (3,128,128) crops
+            # through MobileNetV2 inline, attention_ctrl.py:17,98-99)
+            return {"inst_crop_feat": jnp.zeros((batch_size, T, 1280)),
+                    "inst_cls": jnp.zeros((batch_size, T,
+                                           cfg.inst_cls_dim)),
+                    "inst_pos_emb": jnp.zeros((batch_size, T,
+                                               cfg.inst_pos_dim))}
         toks = {}
         if cfg.inputs_type != "without_inst_fm":
             # raw RoIAligned fm channels (512 for the YOLO tap,

@@ -12,6 +12,15 @@ velocities, penalty contacts, blockwise ABA, semi-implicit integration):
 they operate on plain (…, B) arrays, so the kernel calls them on values
 loaded from refs. Grid is over env blocks; every array is batch-minor so
 the env block occupies the TPU lane dimension.
+
+Covers the full motor interface: POSITION, TORQUE, and HYBRID
+(qd_ref/tau_ff extend the PD law, laikago_motor.py:152-166 — always
+passed; zeros reproduce POSITION exactly), plus the optional
+pd_latency-delayed PD input (minitaur._GetPDObservation:1195-1199;
+static taps, zero-cost when cfg.pd_latency == 0). Each substep's
+[q|qd|quat|w] snapshot is written to a per-substep stack output so the
+caller can maintain the substep-resolution policy-obs latency ring
+(minitaur.ReceiveObservation:1151-1170) outside the kernel.
 """
 
 from __future__ import annotations
@@ -27,26 +36,33 @@ from paddlerobotics_tpu.core.config import SimConfig
 from paddlerobotics_tpu.sim import a1_model as a1
 from paddlerobotics_tpu.sim import sbatch
 from paddlerobotics_tpu.sim.sbatch import (BContact, BDynParams, BQuadState,
-                                           BRobot, F32)
+                                           BRobot, F32, OBS_ROW)
 
-# state leaves fed to / produced by the kernel, in order
-_STATE_SHAPES = [(3,), (4,), (3,), (3,), (12,), (12,)]   # pos quat w v q qd
 _PARAM_FIELDS = list(BDynParams._fields)
 
 
-def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int):
+def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int,
+            taps):
     in_refs = refs[:n_in]
     out_refs = refs[n_in:]
-    pos_r, quat_r, w_r, v_r, q_r, qd_r, prev_r, act_r = in_refs[:8]
+    (pos_r, quat_r, w_r, v_r, q_r, qd_r, prev_r, act_r, qdref_r,
+     tauff_r) = in_refs[:10]
+    k = 10
+    if taps:
+        ph_r = in_refs[k]
+        k += 1
     n_params = len(_PARAM_FIELDS)
-    p_refs = in_refs[8:8 + n_params]
-    c_refs = in_refs[8 + n_params:]
+    p_refs = in_refs[k:k + n_params]
+    c_refs = in_refs[k + n_params:]
     params = BDynParams(*[r[...] for r in p_refs])
     C = sbatch.unpack_consts(*[r[...] for r in c_refs])
+    stack_r = out_refs[-1]
 
     n = cfg.action_repeat
     prev = prev_r[...]
     act = act_r[...]
+    qd_ref = qdref_r[...]
+    tau_ff = tauff_r[...]
     inertias = sbatch.build_inertias(params, C)
 
     state0 = (pos_r[...], quat_r[...], w_r[...], v_r[...], q_r[...],
@@ -57,9 +73,10 @@ def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int):
             jnp.zeros((4, B), F32),         # foot_contact
             jnp.zeros((4, B), F32),         # knee_contact
             jnp.zeros((B,), F32))           # base_contact
+    ph0 = ph_r[...] if taps else jnp.zeros((1, 1, B), F32)
 
     def body(i, carry):
-        (pos, quat, w, v, q, qd), _ = carry
+        (pos, quat, w, v, q, qd), _, ph = carry
         s = BQuadState(pos=pos, quat=quat, w=w, v=v, q=q, qd=qd)
         if cfg.enable_action_interpolation and not torque_mode:
             t = (i + 1.0) / n
@@ -69,7 +86,14 @@ def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int):
         if torque_mode:
             tau = jnp.clip(cmd, -a1.TORQUE_LIMIT[0], a1.TORQUE_LIMIT[0])
         else:
-            tau = -params.motor_kp * (s.q - cmd) - params.motor_kd * s.qd
+            if taps:
+                _, i0, i1, alpha = taps
+                pd_row = (1.0 - alpha) * ph[i0] + alpha * ph[i1]
+                q_in, qd_in = pd_row[:12], pd_row[12:24]
+            else:
+                q_in, qd_in = s.q, s.qd
+            tau = (-params.motor_kp * (q_in - cmd) -
+                   params.motor_kd * (qd_in - qd_ref) + tau_ff)
             tau = jnp.clip(tau, -a1.TORQUE_LIMIT[0], a1.TORQUE_LIMIT[0])
 
         poses = sbatch._chain_poses(s, C)
@@ -80,17 +104,21 @@ def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int):
             s, tau, foot_f, knee_f, base_f, params, poses, vels, C,
             inertias=inertias)
         ns = sbatch.integrate(s, a0, qdd, cfg.substep_dt, cfg)
+        row = jnp.concatenate([ns.q, ns.qd, ns.quat, ns.w], axis=0)
+        stack_r[pl.dslice(i, 1)] = row[None]
+        if taps:
+            ph = jnp.concatenate([row[None, :24], ph[:-1]], axis=0)
         aux = (tau, contact.foot_pos,
                contact.foot_contact.astype(F32),
                contact.knee_contact.astype(F32),
                contact.base_contact.astype(F32))
-        return (ns.pos, ns.quat, ns.w, ns.v, ns.q, ns.qd), aux
+        return (ns.pos, ns.quat, ns.w, ns.v, ns.q, ns.qd), aux, ph
 
-    (pos, quat, w, v, q, qd), aux = jax.lax.fori_loop(
-        0, n, body, (state0, aux0))
+    (pos, quat, w, v, q, qd), aux, _ = jax.lax.fori_loop(
+        0, n, body, (state0, aux0, ph0))
     tau, foot_pos, fcon, kcon, bcon = aux
     outs = (pos, quat, w, v, q, qd, tau, foot_pos, fcon, kcon, bcon)
-    for r, val in zip(out_refs, outs):
+    for r, val in zip(out_refs[:-1], outs):
         r[...] = val
 
 
@@ -98,6 +126,8 @@ def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int):
                                              "block_b", "interpret"))
 def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
                         cfg: SimConfig, h_fn, torque_mode: bool = False,
+                        qd_ref: jnp.ndarray | None = None,
+                        tau_ff: jnp.ndarray | None = None,
                         block_b: int = 1024,
                         interpret: bool = False) -> BRobot:
     """Drop-in replacement for sbatch.control_step via the megakernel."""
@@ -106,14 +136,22 @@ def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
     blk = min(block_b, B)
     assert B % blk == 0, (B, blk)
     grid = (B // blk,)
+    n = cfg.action_repeat
+    L = rb.obs_hist.shape[0]
+    taps = sbatch.pd_delay_taps(cfg, L)
 
     def bspec(shape):
         nd = len(shape)
         return pl.BlockSpec(tuple(shape[:-1]) + (blk,),
                             lambda b, _nd=nd: (0,) * (_nd - 1) + (b,))
 
+    zeros12 = jnp.zeros((12, B), F32)
     state_in = (s.pos, s.quat, s.w, s.v, s.q, s.qd, rb.last_action,
-                jnp.asarray(action, F32))
+                jnp.asarray(action, F32),
+                zeros12 if qd_ref is None else jnp.asarray(qd_ref, F32),
+                zeros12 if tau_ff is None else jnp.asarray(tau_ff, F32))
+    if taps:
+        state_in += (rb.obs_hist[:taps[0], :24],)
     param_in = tuple(jnp.asarray(getattr(p, f), F32)
                      for f in _PARAM_FIELDS)
     const_in = tuple(jnp.asarray(sbatch.CONST_INPUTS[k], F32)
@@ -135,24 +173,26 @@ def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
         jax.ShapeDtypeStruct((4, B), F32),           # foot_contact
         jax.ShapeDtypeStruct((4, B), F32),           # knee_contact
         jax.ShapeDtypeStruct((B,), F32),             # base_contact
+        jax.ShapeDtypeStruct((n, OBS_ROW, B), F32),  # per-substep snapshots
     ]
     out_specs = [bspec(o.shape) for o in out_shapes]
 
     outs = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg, h_fn=h_fn,
-                          torque_mode=torque_mode, n_in=len(inputs)),
+                          torque_mode=torque_mode, n_in=len(inputs),
+                          taps=taps),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(*inputs)
-    pos, quat, w, v, q, qd, tau, foot_pos, fcon, kcon, bcon = outs
+    (pos, quat, w, v, q, qd, tau, foot_pos, fcon, kcon, bcon,
+     rows) = outs
 
     ns = BQuadState(pos=pos, quat=quat, w=w, v=v, q=q, qd=qd)
     contact = BContact(foot_pos=foot_pos, foot_contact=fcon > 0.5,
                        knee_contact=kcon > 0.5, base_contact=bcon > 0.5)
-    q_hist = jnp.concatenate([q[None], rb.q_obs_hist[:-1]], axis=0)
-    qd_hist = jnp.concatenate([qd[None], rb.qd_obs_hist[:-1]], axis=0)
+    hist = jnp.concatenate([rows[::-1], rb.obs_hist[:L - n]], axis=0)
     return BRobot(s=ns, last_action=jnp.asarray(action, F32), tau=tau,
-                  contact=contact, q_obs_hist=q_hist, qd_obs_hist=qd_hist)
+                  contact=contact, obs_hist=hist)

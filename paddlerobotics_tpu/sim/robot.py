@@ -25,22 +25,31 @@ from paddlerobotics_tpu.sim.dynamics import DynamicsParams
 from paddlerobotics_tpu.sim.motor import MotorControlMode
 
 
-def delayed_motor_obs(q_hist: jnp.ndarray, qd_hist: jnp.ndarray,
-                      latency: jnp.ndarray, substep_dt: float):
-    """Latency-interpolated motor observation (minitaur.py:1172-1193).
+def delayed_interp(hist: jnp.ndarray, latency: jnp.ndarray,
+                   substep_dt: float) -> jnp.ndarray:
+    """Latency-interpolated snapshot from a (L, …) newest-first ring
+    (minitaur._GetDelayedObservation:1172-1193).
 
     History index 0 is the newest snapshot; entry i is i substeps old.
-    Linear interpolation between the two snapshots bracketing `latency`.
+    Linear interpolation between the two snapshots bracketing `latency`
+    (quaternions blend componentwise, exactly as the reference blends its
+    flat observation vector).
     """
-    L = q_hist.shape[0]
+    L = hist.shape[0]
     f = jnp.clip(latency / substep_dt, 0.0, L - 1.001)
     i0 = jnp.floor(f).astype(jnp.int32)
     frac = f - i0
-    q0 = jnp.take(q_hist, i0, axis=0)
-    q1 = jnp.take(q_hist, jnp.minimum(i0 + 1, L - 1), axis=0)
-    qd0 = jnp.take(qd_hist, i0, axis=0)
-    qd1 = jnp.take(qd_hist, jnp.minimum(i0 + 1, L - 1), axis=0)
-    return q0 * (1 - frac) + q1 * frac, qd0 * (1 - frac) + qd1 * frac
+    h0 = jnp.take(hist, i0, axis=0)
+    h1 = jnp.take(hist, jnp.minimum(i0 + 1, L - 1), axis=0)
+    return h0 * (1 - frac) + h1 * frac
+
+
+def delayed_motor_obs(q_hist: jnp.ndarray, qd_hist: jnp.ndarray,
+                      latency: jnp.ndarray, substep_dt: float):
+    """Latency-interpolated (q, qd) (minitaur._GetPDObservation
+    semantics over the substep ring)."""
+    return (delayed_interp(q_hist, latency, substep_dt),
+            delayed_interp(qd_hist, latency, substep_dt))
 
 
 def init_robot_state(cfg: SimConfig, height: float = 0.32,
@@ -60,6 +69,8 @@ def init_robot_state(cfg: SimConfig, height: float = 0.32,
         state=state,
         q_hist=jnp.tile(state.q[None, :], (L, 1)),
         qd_hist=jnp.zeros((L, 12)),
+        quat_hist=jnp.tile(state.base_quat[None, :], (L, 1)),
+        w_hist=jnp.zeros((L, 3)),
         last_action=state.q,
         applied_torque=jnp.zeros(12),
         contact=contact)
@@ -73,8 +84,15 @@ def substep(robot: RobotState, motor_command: jnp.ndarray,
     state = robot.state
     poses = dynamics.world_poses(state)
 
-    q_obs, qd_obs = delayed_motor_obs(
-        robot.q_hist, robot.qd_hist, params.control_latency, cfg.substep_dt)
+    # PD input: the reference's _GetPDObservation (minitaur.py:1195-1199)
+    # at pd_latency — which A1 leaves at the 0.0 default (a1.py:225-273),
+    # i.e. the current pre-substep state. control_latency delays only the
+    # POLICY observation, not this loop.
+    if cfg.pd_latency > 0.0:
+        q_obs, qd_obs = delayed_motor_obs(
+            robot.q_hist, robot.qd_hist, cfg.pd_latency, cfg.substep_dt)
+    else:
+        q_obs, qd_obs = state.q, state.qd
     if control_mode == MotorControlMode.POSITION:
         tau = motor.pd_torque(motor_command, q_obs, qd_obs,
                               params.motor_kp, params.motor_kd,
@@ -101,10 +119,13 @@ def substep(robot: RobotState, motor_command: jnp.ndarray,
             base_pos=state.base_pos, base_quat=state.base_quat,
             base_lin_vel=jnp.zeros(3), base_ang_vel=jnp.zeros(3))
 
-    q_hist = jnp.concatenate([new_state.q[None], robot.q_hist[:-1]], axis=0)
-    qd_hist = jnp.concatenate([new_state.qd[None], robot.qd_hist[:-1]], axis=0)
+    push = lambda h, x: jnp.concatenate([x[None], h[:-1]], axis=0)
     return RobotState(
-        state=new_state, q_hist=q_hist, qd_hist=qd_hist,
+        state=new_state,
+        q_hist=push(robot.q_hist, new_state.q),
+        qd_hist=push(robot.qd_hist, new_state.qd),
+        quat_hist=push(robot.quat_hist, new_state.base_quat),
+        w_hist=push(robot.w_hist, new_state.base_ang_vel),
         last_action=robot.last_action, applied_torque=tau,
         contact=contact_state)
 

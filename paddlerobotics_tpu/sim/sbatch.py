@@ -15,18 +15,22 @@ X = [[E,0],[−Er̂,E]] expands blockwise to
   A' = EᵀAE;  H' = EᵀHE;  M' = EᵀME
   TL = A' − H'r̂ + r̂H'ᵀ − r̂M'r̂,  TR = H' + r̂M',  BR = M'.
 
-Deviation from the per-env reference path (documented): observation
-latency for the *policy* is modeled at control-step granularity (ring of
-control-step snapshots, per-env interpolated — covers the 0–80 ms
-randomization range, train.py:116), while the inner PD loop acts on the
-CURRENT undelayed substep state (zero delay — a 1-substep-delayed qd
-feedback rings at kp=100 with our 2.6 ms substep; the reference applies
-its 2 ms default control_latency to the PD input via a substep-resolution
-deque, minitaur.py:1172-1193, a1.py:233). The per-env robot.py path uses
-latency-interpolated PD inputs instead, so the two physics paths are only
-approximately equivalent; tests/test_pallas_physics.py and
-tests/test_batched_env.py choose their cross-check tolerances with this
-in mind. Only the policy path is sensitive to the randomized range.
+Latency semantics (reference-exact, see docs/latency_semantics.md):
+the reference keeps a SUBSTEP-resolution observation deque
+(minitaur.ReceiveObservation:1151-1170, one append per inner sim step)
+and derives two delayed views from it — the POLICY observation at
+``control_latency`` (``_GetControlObservation``:1202-1205, delaying
+q, q̇, base quat and rpy-rate together; randomized 0–80 ms by
+train.py:116) and the PD loop's (q, q̇) at ``pd_latency``
+(``_GetPDObservation``:1195-1199). A1 never sets pd_latency
+(a1.py:225-273), so it is 0.0 (minitaur.py:100) and the reference PD
+acts on the CURRENT pre-substep state. We mirror both: ``obs_hist``
+holds the last ``latency_buffer_len`` substep snapshots of
+[q, q̇, quat, ω] (31 rows; the reference's per-entry torque slot is
+omitted — no sensor here consumes delayed torque), ``delayed_obs``
+interpolates it exactly as ``_GetDelayedObservation``:1172-1193, and
+``cfg.pd_latency > 0`` threads a small delayed-(q, q̇) ring through the
+substep loop for the PD input (default 0 ≡ reference ≡ current state).
 """
 
 from __future__ import annotations
@@ -44,7 +48,10 @@ from paddlerobotics_tpu.sim import a1_model as a1
 from paddlerobotics_tpu.sim import dynamics as dyn
 
 F32 = jnp.float32
-OBS_HIST_LEN = 4  # control-step snapshots for policy-obs latency (104 ms)
+# Substep-snapshot row layout (GetTrueObservation minus the torque slot):
+# [q(0:12) | qd(12:24) | quat(24:28) | w(28:31)]
+OBS_ROW = 31
+SUB_HIST_LEN = 32  # default ring length: 32 × 2.6 ms ≈ 83 ms ≥ 80 ms DR range
 
 
 # --- state -------------------------------------------------------------------
@@ -75,8 +82,10 @@ class BRobot:
     last_action: jnp.ndarray  # (12,B)
     tau: jnp.ndarray          # (12,B) applied torques (last substep)
     contact: BContact
-    q_obs_hist: jnp.ndarray   # (OBS_HIST_LEN,12,B), slot 0 newest
-    qd_obs_hist: jnp.ndarray  # (OBS_HIST_LEN,12,B)
+    # Substep-resolution observation ring (minitaur._observation_history,
+    # deque(100) analogue): slot 0 = newest = end of the latest substep,
+    # rows laid out [q | qd | quat | w] (OBS_ROW).
+    obs_hist: jnp.ndarray     # (L, OBS_ROW, B)
 
 
 class BDynParams(NamedTuple):
@@ -620,24 +629,25 @@ def integrate(s: BQuadState, a0, qdd, dt: float, cfg: SimConfig) -> BQuadState:
 def substep(rb: BRobot, cmd: jnp.ndarray, p: BDynParams, cfg: SimConfig,
             h_fn, torque_mode: bool = False, inertias=None,
             qd_ref: jnp.ndarray | None = None,
-            tau_ff: jnp.ndarray | None = None) -> BRobot:
-    """One physics substep: PD (zero-delay, on the current state) →
-    contacts → ABA → integrate.
+            tau_ff: jnp.ndarray | None = None,
+            q_pd: jnp.ndarray | None = None,
+            qd_pd: jnp.ndarray | None = None) -> BRobot:
+    """One physics substep: PD → contacts → ABA → integrate.
 
     `qd_ref`/`tau_ff` extend the PD law to the full HYBRID motor command
     τ = −kp(q−q*) − kd(q̇−q̇*) + τ_ff (laikago_motor.py:152-166); both
-    default to None (≡ zero) so the POSITION path is unchanged."""
+    default to None (≡ zero) so the POSITION path is unchanged.
+    `q_pd`/`qd_pd` override the PD input state (pd_latency-delayed view,
+    _GetPDObservation:1195-1199); None ≡ the current state, which is the
+    reference default (pd_latency = 0, minitaur.py:100)."""
     s = rb.s
     if torque_mode:
         tau = jnp.clip(cmd, -a1.TORQUE_LIMIT[0], a1.TORQUE_LIMIT[0])
     else:
-        # PD on the current substep state. The reference applies a 2 ms
-        # sensor delay to the PD input (a1.py:233 control_latency default),
-        # which is *below* our 2.6 ms substep — zero delay is the closest
-        # stable discretization (1-substep-delayed qd feedback rings at
-        # kp=100).
-        qd_err = s.qd if qd_ref is None else s.qd - qd_ref
-        tau = -p.motor_kp * (s.q - cmd) - p.motor_kd * qd_err
+        q_in = s.q if q_pd is None else q_pd
+        qd_in = s.qd if qd_pd is None else qd_pd
+        qd_err = qd_in if qd_ref is None else qd_in - qd_ref
+        tau = -p.motor_kp * (q_in - cmd) - p.motor_kd * qd_err
         if tau_ff is not None:
             tau = tau + tau_ff
         tau = jnp.clip(tau, -a1.TORQUE_LIMIT[0], a1.TORQUE_LIMIT[0])
@@ -656,7 +666,32 @@ def substep(rb: BRobot, cmd: jnp.ndarray, p: BDynParams, cfg: SimConfig,
                               w=jnp.zeros_like(s.w), v=jnp.zeros_like(s.v))
     return BRobot(
         s=s_new, last_action=rb.last_action, tau=tau, contact=contact,
-        q_obs_hist=rb.q_obs_hist, qd_obs_hist=rb.qd_obs_hist)
+        obs_hist=rb.obs_hist)
+
+
+def pd_delay_taps(cfg: SimConfig, hist_len: int):
+    """Static interpolation taps for the pd_latency-delayed PD input.
+
+    Returns None when pd_latency == 0 (reference default: PD acts on the
+    current state), else (P, i0, alpha): read slots i0/i0+1 of a
+    newest-first substep ring of ≥ P entries and blend with weight alpha
+    (the _GetDelayedObservation:1182-1192 formula, resolved at trace time
+    because pd_latency is a static config constant)."""
+    lat = float(cfg.pd_latency)
+    if lat <= 0.0:
+        return None
+    f = lat / cfg.substep_dt
+    i0 = int(np.floor(f))
+    alpha = f - i0
+    P = min(i0 + 2, hist_len)
+    i0 = min(i0, P - 1)
+    i1 = min(i0 + 1, P - 1)
+    return P, i0, i1, float(alpha)
+
+
+def _obs_row(s: BQuadState) -> jnp.ndarray:
+    """Substep snapshot row (OBS_ROW, B): [q | qd | quat | w]."""
+    return jnp.concatenate([s.q, s.qd, s.quat, s.w], axis=0)
 
 
 def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
@@ -671,42 +706,57 @@ def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
     prev = rb.last_action
     n = cfg.action_repeat
     inertias = build_inertias(p)
+    L = rb.obs_hist.shape[0]
+    taps = pd_delay_taps(cfg, L)
+    # PD ring seed: newest-first (q, qd) substep snapshots carried over
+    # from the previous control step (obs_hist[0] == the current state).
+    ph0 = rb.obs_hist[:taps[0], :24] if taps else jnp.zeros(
+        (1, 1, rb.s.q.shape[-1]), F32)
 
     def body(carry, i):
-        rb_ = carry
+        rb_, ph = carry
         if cfg.enable_action_interpolation and not torque_mode:
             t = (i + 1.0) / n
             cmd = prev + t * (action - prev)
         else:
             cmd = action
+        q_pd = qd_pd = None
+        if taps:
+            _, i0, i1, alpha = taps
+            row = (1.0 - alpha) * ph[i0] + alpha * ph[i1]    # (24,B)
+            q_pd, qd_pd = row[:12], row[12:24]
         rb_ = substep(rb_, cmd, p, cfg, h_fn, torque_mode, inertias,
-                      qd_ref=qd_ref, tau_ff=tau_ff)
-        return rb_, None
+                      qd_ref=qd_ref, tau_ff=tau_ff, q_pd=q_pd, qd_pd=qd_pd)
+        row_new = _obs_row(rb_.s)
+        if taps:
+            ph = jnp.concatenate([row_new[None, :24], ph[:-1]], axis=0)
+        return (rb_, ph), row_new
 
-    rb, _ = jax.lax.scan(body, rb, jnp.arange(n, dtype=F32))
-    # push control-step obs snapshot (latency ring, slot 0 = newest)
-    q_hist = jnp.concatenate([rb.s.q[None], rb.q_obs_hist[:-1]], axis=0)
-    qd_hist = jnp.concatenate([rb.s.qd[None], rb.qd_obs_hist[:-1]], axis=0)
-    return rb.replace(last_action=action, q_obs_hist=q_hist,
-                      qd_obs_hist=qd_hist)
+    (rb, _), rows = jax.lax.scan(body, (rb, ph0),
+                                 jnp.arange(n, dtype=F32))
+    # rows is (n, OBS_ROW, B), substep order → newest-first into the ring
+    hist = jnp.concatenate([rows[::-1], rb.obs_hist[:L - n]], axis=0)
+    return rb.replace(last_action=action, obs_hist=hist)
 
 
-def delayed_obs(rb: BRobot, latency: jnp.ndarray, control_dt: float):
-    """Per-env latency-interpolated (q, qd) from the control-step ring.
+def delayed_obs(rb: BRobot, latency: jnp.ndarray, substep_dt: float):
+    """Per-env latency-interpolated (q, qd, quat, w) from the substep ring.
 
-    Linear interpolation weights over OBS_HIST_LEN slots (hat function at
-    f = latency/control_dt), computed as a tiny einsum — no gathers.
+    The _GetDelayedObservation:1172-1193 linear blend, vectorized: hat-
+    function weights over L slots at f = latency/substep_dt, one einsum —
+    no gathers. The quaternion is blended componentwise exactly as the
+    reference blends its flat observation vector.
     """
-    L = OBS_HIST_LEN
-    f = jnp.clip(latency / control_dt, 0.0, L - 1.001)      # (B,)
+    L = rb.obs_hist.shape[0]
+    f = jnp.clip(latency / substep_dt, 0.0, L - 1.001)      # (B,)
     slots = jnp.arange(L, dtype=F32)[:, None]               # (L,1)
     wgt = jnp.maximum(0.0, 1.0 - jnp.abs(slots - f[None, :]))  # (L,B)
-    q = jnp.einsum("lb,ljb->jb", wgt, rb.q_obs_hist)
-    qd = jnp.einsum("lb,ljb->jb", wgt, rb.qd_obs_hist)
-    return q, qd
+    ob = jnp.einsum("lb,ljb->jb", wgt, rb.obs_hist)          # (OBS_ROW,B)
+    return ob[:12], ob[12:24], ob[24:28], ob[28:31]
 
 
-def init_robot(B: int, height, q0=None) -> BRobot:
+def init_robot(B: int, height, q0=None,
+               hist_len: int = SUB_HIST_LEN) -> BRobot:
     """Standing-start batched robot. `height` is scalar or (B,)."""
     q_init = jnp.asarray(a1.INIT_MOTOR_ANGLES if q0 is None else q0, F32)
     q = jnp.broadcast_to(q_init[:, None], (12, B))
@@ -721,7 +771,6 @@ def init_robot(B: int, height, q0=None) -> BRobot:
         foot_contact=jnp.zeros((4, B), bool),
         knee_contact=jnp.zeros((4, B), bool),
         base_contact=jnp.zeros((B,), bool))
-    hist = jnp.broadcast_to(q[None], (OBS_HIST_LEN, 12, B))
+    hist = jnp.broadcast_to(_obs_row(s)[None], (hist_len, OBS_ROW, B))
     return BRobot(s=s, last_action=q, tau=jnp.zeros((12, B), F32),
-                  contact=contact, q_obs_hist=hist,
-                  qd_obs_hist=jnp.zeros((OBS_HIST_LEN, 12, B), F32))
+                  contact=contact, obs_hist=hist)

@@ -239,7 +239,7 @@ class ETGRLTrainer:
 
         def chunk(carry: TrainCarry, e_step: jnp.ndarray):
             def body(c: TrainCarry, _):
-                rng, k_act, k_samp, k_learn = jax.random.split(c.rng, 4)
+                rng, k_act, k_learn = jax.random.split(c.rng, 3)
                 if warm:
                     action, _ = sac.sample(c.sac_state.actor_params, c.obs,
                                            k_act)
@@ -404,6 +404,7 @@ class ETGRLTrainer:
         test_flag = 0
         es_flag = 0
         es_gen = 0
+        reset_flag = 0
 
         rcfg = cfg.random
         dr_adaptive = rcfg.random_dynamics and rcfg.dr_adaptive
@@ -440,6 +441,26 @@ class ETGRLTrainer:
             if warm:
                 self.logger.add_scalar("train/critic_loss",
                                        float(out["critic_loss"]), total_steps)
+
+            # periodic critic reset (plasticity stabilizer,
+            # SACConfig.critic_reset_steps; actor + replay kept)
+            rst = cfg.sac.critic_reset_steps
+            if rst > 0 and total_steps // rst > reset_flag and warm:
+                reset_flag = total_steps // rst
+                k_rst = jax.random.fold_in(jax.random.key(911), reset_flag)
+                sac_state = self.sac.reset_critic(carry.sac_state, k_rst)
+                if self.mesh is not None:
+                    from paddlerobotics_tpu.parallel import sharding as sh
+                    sac_state = sac_state._replace(
+                        critic_params=sh.shard_params_tp(
+                            self.mesh, sac_state.critic_params),
+                        target_critic_params=sh.shard_params_tp(
+                            self.mesh, sac_state.target_critic_params),
+                        critic_opt=sh.replicate(self.mesh,
+                                                sac_state.critic_opt))
+                carry = carry._replace(sac_state=sac_state)
+                self.logger.add_scalar("train/critic_reset", 1.0,
+                                       total_steps)
 
             # eval window (train.py:370-390)
             if (total_steps + 1) // cfg.train.eval_every_steps > test_flag:

@@ -45,6 +45,31 @@ struct EvalConfig {
   float near_field_frac = 0.1f;    // min bbox height fraction
 };
 
+// R(2+1)D clip constants (jetson/eval_r2plus1d.cpp:44-48):
+// 8-frame windows of 224x224 images, Kinetics normalization.
+constexpr int kClipLen = 8;
+constexpr int kClipRes = 224;
+
+// Clip-scoring backend — the r2plus1d baseline's model boundary
+// (eval_r2plus1d.cpp RunCtrl): a preprocessed clip of kClipLen frames,
+// each 3*224*224 CHW Kinetics-normalized floats, scored in one pass to
+// the full action distribution plus a softmax-temperature top-k sampled
+// action id (the model's own topK sampling head, lines 246-258).
+class ClipBackend {
+ public:
+  virtual ~ClipBackend() = default;
+  struct ClipResult {
+    std::vector<float> act_scores;  // per-action probabilities
+    int sampled_id = 0;             // top-k sample
+  };
+  virtual ClipResult Score(const std::vector<std::vector<float>>& clip) = 0;
+};
+
+// 416-letterboxed [0,1] RGB (HWC) -> 3*224*224 CHW Kinetics-normalized
+// (PreprocessImage, eval_r2plus1d.cpp:113-164; nearest-neighbor resize
+// like LetterboxResize).
+std::vector<float> PreprocessClipFrame(const std::vector<float>& pixels);
+
 struct EvalResult {
   std::string json;          // EvalResponse.response
   float response_score = 0.f;
@@ -57,6 +82,12 @@ class EvalServer {
  public:
   // port 0 → ephemeral; the bound port is available after Start().
   EvalServer(std::shared_ptr<InferBackend> backend,
+             std::vector<MultimodalAction> catalog, EvalConfig cfg,
+             uint16_t port = 0);
+  // R(2+1)D variant (jetson/eval_r2plus1d.cpp EvalServiceImpl): same
+  // service + wire format, but requests are scored by a clip backend
+  // instead of detect+attend.
+  EvalServer(std::shared_ptr<ClipBackend> clip_backend,
              std::vector<MultimodalAction> catalog, EvalConfig cfg,
              uint16_t port = 0);
   ~EvalServer();
@@ -73,11 +104,20 @@ class EvalServer {
   // eval_v3.cpp:1297-1299). Exposed for tests and in-process use.
   EvalResult ScoreWindow(const std::vector<RawFrame>& frames);
 
+  // Clip-variant scoring (eval_r2plus1d.cpp infer:378-410 +
+  // ConvertPredToJsons:262-309): preprocess the last kClipLen frames
+  // (repeat-first pad when shorter — the reference's offline RunEval
+  // throws instead; a server degrades gracefully), one clip pass, then
+  // the null-action rule. Dispatched by ServeConnection when this
+  // server was built with a ClipBackend.
+  EvalResult ScoreClip(const std::vector<RawFrame>& frames);
+
  private:
   void AcceptLoop();
   void ServeConnection(int fd);
 
   std::shared_ptr<InferBackend> backend_;
+  std::shared_ptr<ClipBackend> clip_backend_;
   std::vector<MultimodalAction> catalog_;
   EvalConfig cfg_;
   uint16_t port_;

@@ -28,6 +28,11 @@ typedef void (*AttendFn)(const float* tokens, const int* valid,
 typedef void (*AttendEvalFn)(const float* tokens, const int* valid,
                              float* trigger, float* obj_scores,
                              int* action_id, float* act_scores);
+// clip score (r2plus1d variant): preprocessed clip
+// (kClipLen*3*224*224 floats) -> action distribution (num_act) +
+// top-k sampled action id.
+typedef void (*ClipScoreFn)(const float* clip, float* act_scores,
+                            int* sampled_id);
 
 namespace {
 
@@ -197,6 +202,36 @@ void* eval_server_create(DetectFn detect, AttendEvalFn attend, int num_act,
   auto* s = new EvalServer(
       std::make_shared<EvalCallbackBackend>(detect, attend, num_act),
       {}, cfg, port);
+  s->Start();
+  return s;
+}
+
+// r2plus1d variant (jetson/eval_r2plus1d.cpp EvalServiceImpl): same
+// service + wire format, clip-scoring backend instead of detect+attend.
+void* eval_server_create_r2p1d(ClipScoreFn score, int num_act,
+                               unsigned short port) {
+  class CallbackClipBackend : public ClipBackend {
+   public:
+    CallbackClipBackend(ClipScoreFn f, int n) : f_(f), num_act_(n) {}
+    ClipResult Score(
+        const std::vector<std::vector<float>>& clip) override {
+      static thread_local std::vector<float> flat;
+      flat.clear();
+      for (const auto& fr : clip)
+        flat.insert(flat.end(), fr.begin(), fr.end());
+      ClipResult r;
+      r.act_scores.assign(num_act_, 0.f);
+      f_(flat.data(), r.act_scores.data(), &r.sampled_id);
+      return r;
+    }
+
+   private:
+    ClipScoreFn f_;
+    int num_act_;
+  };
+  auto* s = new EvalServer(
+      std::make_shared<CallbackClipBackend>(score, num_act), {},
+      EvalConfig{}, port);
   s->Start();
   return s;
 }

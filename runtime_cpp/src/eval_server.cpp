@@ -46,6 +46,87 @@ EvalServer::EvalServer(std::shared_ptr<InferBackend> backend,
       cfg_(cfg),
       port_(port) {}
 
+EvalServer::EvalServer(std::shared_ptr<ClipBackend> clip_backend,
+                       std::vector<MultimodalAction> catalog,
+                       EvalConfig cfg, uint16_t port)
+    : clip_backend_(std::move(clip_backend)),
+      catalog_(std::move(catalog)),
+      cfg_(cfg),
+      port_(port) {}
+
+std::vector<float> PreprocessClipFrame(const std::vector<float>& pixels) {
+  // Kinetics/ig65m channel stats (eval_r2plus1d.cpp:149-151).
+  static const float kMean[3] = {0.43216f, 0.394666f, 0.37645f};
+  static const float kStd[3] = {0.22803f, 0.22145f, 0.216989f};
+  const int src = 416;
+  std::vector<float> out(3 * kClipRes * kClipRes, 0.f);
+  for (int y = 0; y < kClipRes; ++y) {
+    int sy = y * src / kClipRes;
+    for (int x = 0; x < kClipRes; ++x) {
+      int sx = x * src / kClipRes;
+      const float* px = pixels.data() + (sy * src + sx) * 3;
+      for (int c = 0; c < 3; ++c) {
+        out[(c * kClipRes + y) * kClipRes + x] =
+            (px[c] - kMean[c]) / kStd[c];
+      }
+    }
+  }
+  return out;
+}
+
+EvalResult EvalServer::ScoreClip(const std::vector<RawFrame>& frames) {
+  std::vector<std::vector<float>> clip;
+  size_t start =
+      frames.size() > size_t(kClipLen) ? frames.size() - kClipLen : 0;
+  for (size_t i = start; i < frames.size(); ++i)
+    clip.push_back(PreprocessClipFrame(frames[i].pixels));
+  while (clip.size() < size_t(kClipLen) && !clip.empty())
+    clip.insert(clip.begin(), clip.front());
+
+  EvalResult r;
+  if (clip.empty()) {
+    r.json = "{}";
+    return r;
+  }
+  ClipBackend::ClipResult cr = clip_backend_->Score(clip);
+  if (cr.act_scores.empty()) {
+    r.json = "{}";
+    return r;
+  }
+  r.nullact_score = cr.act_scores[0];
+  r.nullact_id = static_cast<int>(
+      std::max_element(cr.act_scores.begin(), cr.act_scores.end()) -
+      cr.act_scores.begin());
+  r.trigger_pred = 0.f;  // the r2plus1d head has no trigger
+                         // (eval_r2plus1d.cpp:405 set_trigger_pred(0))
+  // Null-action rule (ConvertPredToJsons:278-285): top-1 == action 0
+  // means "do nothing".
+  if (r.nullact_id == 0) {
+    r.json = "{}";
+    return r;
+  }
+  int sid = cr.sampled_id;
+  // Salutation remap (ConvertPredToJsons:291-298): utterances carrying
+  // the salutation marker 'C' are replaced by a safe act. The reference
+  // draws uniformly from SAFE_ACTS with a time-seeded RNG; here the
+  // draw is a deterministic function of the sample so eval is
+  // reproducible.
+  static const int kSafeActs[] = {1, 3, 4, 5, 6, 7, 8, 10};
+  if (sid >= 0 && sid < static_cast<int>(catalog_.size()) &&
+      catalog_[sid].utterance.find('C') != std::string::npos) {
+    sid = kSafeActs[static_cast<size_t>(sid) %
+                    (sizeof(kSafeActs) / sizeof(kSafeActs[0]))];
+  }
+  Decision d;
+  d.triggered = true;
+  d.trigger_score = 0.f;
+  d.action_id = sid;
+  r.json = d.ToJson(catalog_);
+  if (sid >= 0 && sid < static_cast<int>(cr.act_scores.size()))
+    r.response_score = cr.act_scores[sid];
+  return r;
+}
+
 EvalServer::~EvalServer() { Stop(); }
 
 void EvalServer::Start() {
@@ -95,6 +176,15 @@ void EvalServer::AcceptLoop() {
     // on this connection (eval clients fan out across processes, not
     // in-connection pipelining: parallel_eval.py one stub per worker).
     client_fd_.store(fd);
+    // Stop() may have swept client_fd_ between accept() and the store
+    // above; re-check so its shutdown isn't missed (otherwise Stop()
+    // blocks in join() until the remote client disconnects).
+    if (!running_) {
+      client_fd_.store(-1);
+      ::shutdown(fd, SHUT_RDWR);
+      ::close(fd);
+      break;
+    }
     ServeConnection(fd);
     client_fd_.store(-1);
     ::shutdown(fd, SHUT_RDWR);
@@ -136,7 +226,7 @@ void EvalServer::ServeConnection(int fd) {
       frames.push_back(std::move(f));
     }
 
-    EvalResult r = ScoreWindow(frames);
+    EvalResult r = clip_backend_ ? ScoreClip(frames) : ScoreWindow(frames);
 
     const uint32_t jlen = static_cast<uint32_t>(r.json.size());
     const uint32_t plen = 1 + 4 * 4 + 4 + jlen;

@@ -228,10 +228,145 @@ static void TestStopWithIdleClient() {
   ::close(fd);
 }
 
+// R(2+1)D clip backend stub: act distribution peaked at `peak`,
+// sampled_id = `sample`; records the clip shape it saw.
+class StubClipBackend : public ClipBackend {
+ public:
+  StubClipBackend(int peak, int sample) : peak_(peak), sample_(sample) {}
+  int calls = 0;
+  size_t last_clip_len = 0;
+  size_t last_frame_floats = 0;
+  float last_first = 0.f;
+
+  ClipResult Score(const std::vector<std::vector<float>>& clip) override {
+    ++calls;
+    last_clip_len = clip.size();
+    last_frame_floats = clip.empty() ? 0 : clip[0].size();
+    last_first = clip.empty() || clip[0].empty() ? 0.f : clip[0][0];
+    ClipResult r;
+    r.act_scores.assign(12, 0.01f);
+    r.act_scores[peak_] = 0.8f;
+    r.sampled_id = sample_;
+    return r;
+  }
+
+ private:
+  int peak_, sample_;
+};
+
+static RawFrame MakeClipFrame(float value) {
+  RawFrame f;
+  f.pixels.assign(416 * 416 * 3, value);
+  return f;
+}
+
+static void TestScoreClip() {
+  std::vector<MultimodalAction> catalog;
+  for (int i = 0; i < 12; ++i) {
+    // id 5 carries the salutation marker 'C' in its utterance
+    std::string utt = (i == 5) ? "helloC" : "hello";
+    catalog.push_back(MultimodalAction::Parse(
+        "act" + std::to_string(i) + "\texp\t" + utt + "\tnull"));
+  }
+
+  // Normal action: argmax 2, sample 2 → act2 JSON, scores filled.
+  auto be = std::make_shared<StubClipBackend>(2, 2);
+  EvalServer server(be, catalog, EvalConfig{});
+  std::vector<RawFrame> frames(10, MakeClipFrame(0.5f));
+  EvalResult r = server.ScoreClip(frames);
+  CHECK(be->calls == 1);
+  CHECK(be->last_clip_len == size_t(kClipLen));  // tail-truncated 10→8
+  CHECK(be->last_frame_floats == size_t(3 * kClipRes * kClipRes));
+  CHECK(r.json.find("\"action\":\"act2\"") != std::string::npos);
+  CHECK(std::abs(r.response_score - 0.8f) < 1e-6);
+  CHECK(std::abs(r.nullact_score - 0.01f) < 1e-6);
+  CHECK(r.nullact_id == 2);
+  CHECK(r.trigger_pred == 0.f);
+  // Kinetics normalization applied: 0.5 → (0.5-0.43216)/0.22803
+  CHECK(std::abs(be->last_first - (0.5f - 0.43216f) / 0.22803f) < 1e-4);
+
+  // Null action (argmax == 0) → "{}" (ConvertPredToJsons:278-285).
+  auto be0 = std::make_shared<StubClipBackend>(0, 3);
+  EvalServer snull(be0, catalog, EvalConfig{});
+  EvalResult r0 = snull.ScoreClip(frames);
+  CHECK(r0.json == "{}");
+  CHECK(r0.nullact_id == 0);
+
+  // Salutation remap: sample 5 carries 'C' → replaced by a safe act.
+  auto beC = std::make_shared<StubClipBackend>(2, 5);
+  EvalServer sC(beC, catalog, EvalConfig{});
+  EvalResult rC = sC.ScoreClip(frames);
+  CHECK(rC.json.find("\"action\":\"act5\"") == std::string::npos);
+  CHECK(rC.json.find("\"triggered\":true") != std::string::npos);
+
+  // Short request (3 frames) → repeat-first padded to kClipLen.
+  auto beS = std::make_shared<StubClipBackend>(2, 2);
+  EvalServer sS(beS, catalog, EvalConfig{});
+  sS.ScoreClip(std::vector<RawFrame>(3, MakeClipFrame(0.2f)));
+  CHECK(beS->last_clip_len == size_t(kClipLen));
+}
+
+static void TestClipTransport() {
+  // The same wire format dispatches to ScoreClip for a clip server.
+  auto be = std::make_shared<StubClipBackend>(3, 3);
+  std::vector<MultimodalAction> catalog;
+  for (int i = 0; i < 12; ++i)
+    catalog.push_back(MultimodalAction::Parse(
+        "act" + std::to_string(i) + "\texp\thi\tnull"));
+  EvalServer server(be, catalog, EvalConfig{}, 0);
+  server.Start();
+  CHECK(server.port() != 0);
+
+  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons(server.port());
+  CHECK(::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) ==
+        0);
+
+  const int32_t nframe = 8;
+  std::vector<uint8_t> body;
+  body.push_back(3);
+  auto push32 = [&](const void* v) {
+    const auto* b = static_cast<const uint8_t*>(v);
+    body.insert(body.end(), b, b + 4);
+  };
+  push32(&nframe);
+  std::vector<float> pix(416 * 416 * 3, 0.4f);
+  for (int i = 0; i < nframe; ++i) {
+    uint32_t npix = pix.size();
+    push32(&npix);
+    body.insert(body.end(), reinterpret_cast<uint8_t*>(pix.data()),
+                reinterpret_cast<uint8_t*>(pix.data() + pix.size()));
+  }
+  uint32_t plen = body.size();
+  CHECK(SendAll(fd, &plen, 4));
+  CHECK(SendAll(fd, body.data(), body.size()));
+
+  uint32_t rlen = 0;
+  CHECK(RecvAll(fd, &rlen, 4));
+  std::vector<uint8_t> resp(rlen);
+  CHECK(RecvAll(fd, resp.data(), rlen));
+  CHECK(resp[0] == 4);
+  int32_t nullact_id;
+  std::memcpy(&nullact_id, resp.data() + 13, 4);
+  CHECK(nullact_id == 3);
+  uint32_t jlen;
+  std::memcpy(&jlen, resp.data() + 17, 4);
+  std::string json(reinterpret_cast<char*>(resp.data() + 21), jlen);
+  CHECK(json.find("\"action\":\"act3\"") != std::string::npos);
+
+  ::close(fd);
+  server.Stop();
+}
+
 int main() {
   TestScoreWindow();
   TestTransport();
   TestStopWithIdleClient();
+  TestScoreClip();
+  TestClipTransport();
   if (g_failures == 0) std::printf("eval_server_tests: all passed\n");
   return g_failures == 0 ? 0 : 1;
 }

@@ -118,11 +118,11 @@ def test_balance_beam_terrain_and_walk():
         env = make_env("Quadrupedal", task="balance_beam", config=cfg)
         state, obs = env.reset(jax.random.key(3))
         step = jax.jit(lambda s: env.step(s, jnp.zeros(12)))
-        for i in range(150):
+        for i in range(600):
             state, obs, rew, done, info = step(state)
             if bool(done):
                 return i
-        return 150
+        return 600
 
     # Open-loop crossing of the full 3 m plank needs a trained policy
     # (like the reference's beam task); the physics signal to pin here
@@ -131,8 +131,8 @@ def test_balance_beam_terrain_and_walk():
     mid = steps_survived(0.40)
     solid = steps_survived(10.0)    # effectively solid ground
     assert skinny < mid, (skinny, mid)
-    assert solid == 150, solid
-    assert skinny < 150, skinny     # does reach the plank and fall
+    assert solid == 600, solid
+    assert skinny < 600, skinny     # does reach the plank and fall
 
     # batched (production) path handles the mode too
     from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv

@@ -150,3 +150,58 @@ def test_eval_server_full_loop():
         if client is not None:
             client.close()
         server.close()
+
+
+def test_clip_eval_server_r2plus1d_loop():
+    """JAX R(2+1)D scoring callback → C++ clip EvalServer (the
+    eval_r2plus1d.cpp equivalent) → EvalStreamClient. The C++ side
+    letterbox-resizes 416→224, Kinetics-normalizes, windows to 8
+    frames; the callback runs a (tiny) real R2Plus1D18 program."""
+    import jax
+    import jax.numpy as jnp
+
+    from paddlerobotics_tpu.hri.native_pipeline import (CLIP_LEN, CLIP_RES,
+                                                        NativeClipEvalServer)
+    from paddlerobotics_tpu.hri.r2plus1d import R2Plus1D18
+    from paddlerobotics_tpu.hri.stream_client import EvalStreamClient
+
+    num_act = 6
+    model = R2Plus1D18(num_classes=num_act, blocks=((8, (1, 2, 2)),),
+                       stem_kernel=3)
+    x0 = jnp.zeros((1, CLIP_LEN, CLIP_RES, CLIP_RES, 3))
+    params = model.init(jax.random.key(0), x0)
+
+    @jax.jit
+    def fwd(clip):
+        # C++ sends (T,3,H,W) CHW; the model takes (B,T,H,W,3)
+        x = jnp.transpose(clip, (0, 2, 3, 1))[None]
+        logits = model.apply(params, x)
+        return jax.nn.softmax(logits[0])
+
+    seen = {}
+
+    def score(clip):
+        seen["shape"] = clip.shape
+        probs = np.asarray(fwd(jnp.asarray(clip)))
+        # top-k sample stand-in: the argmax (deterministic)
+        return probs, int(np.argmax(probs))
+
+    server = NativeClipEvalServer(score, num_act=num_act)
+    client = None
+    try:
+        assert server.port > 0
+        client = EvalStreamClient(port=server.port)
+        frames = [np.full((416, 416, 3), 0.5, np.float32)
+                  for _ in range(10)]
+        out = client.infer(frames)
+        assert seen["shape"] == (CLIP_LEN, 3, CLIP_RES, CLIP_RES)
+        assert 0 <= out["nullact_id"] < num_act
+        assert np.isfinite(out["nullact_score"])
+        # response JSON: either the null-act "{}" or a triggered action
+        assert isinstance(out["response"], dict)
+        if out["nullact_id"] != 0:
+            assert out["response"].get("triggered") is True
+    finally:
+        if client is not None:
+            client.close()
+        server.close()

@@ -39,6 +39,82 @@ def test_megakernel_matches_soa_path():
                                np.asarray(rb_ref.tau), atol=1e-4)
 
 
+def test_megakernel_substep_ring_matches_soa():
+    """The per-substep obs stack → ring update must equal the SoA path's
+    (policy-obs latency source, minitaur.ReceiveObservation semantics)."""
+    cfg = SimConfig()
+    h_fn = terrain.height_fn(TaskConfig(task_mode="ground"))
+    B = 4
+    rb = sbatch.init_robot(B, height=0.30)
+    p = sbatch.BDynParams.default(B)
+    target = jnp.broadcast_to(
+        jnp.asarray(a1.INIT_MOTOR_ANGLES, jnp.float32)[:, None],
+        (12, B)) + 0.05
+    rb_ref = sbatch.control_step(rb, target, p, cfg, h_fn)
+    rb_pal = control_step_pallas(rb, target, p, cfg, h_fn, block_b=4,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(rb_pal.obs_hist),
+                               np.asarray(rb_ref.obs_hist), atol=1e-5)
+
+
+def test_megakernel_hybrid_matches_soa():
+    """HYBRID motor law (qd_ref/tau_ff) through the megakernel equals the
+    sbatch path (laikago_motor.py:152-166 semantics)."""
+    cfg = SimConfig()
+    h_fn = terrain.height_fn(TaskConfig(task_mode="ground"))
+    B = 4
+    rb = sbatch.init_robot(B, height=0.30)
+    p = sbatch.BDynParams.default(B)
+    target = jnp.broadcast_to(
+        jnp.asarray(a1.INIT_MOTOR_ANGLES, jnp.float32)[:, None],
+        (12, B)) + 0.02
+    qd_ref = 0.3 * jnp.broadcast_to(
+        jnp.sin(jnp.arange(12.0))[:, None], (12, B))
+    tau_ff = 1.5 * jnp.broadcast_to(
+        jnp.cos(jnp.arange(12.0))[:, None], (12, B))
+    rb_ref = rb
+    rb_pal = rb
+    for _ in range(3):
+        rb_ref = sbatch.control_step(rb_ref, target, p, cfg, h_fn,
+                                     qd_ref=qd_ref, tau_ff=tau_ff)
+        rb_pal = control_step_pallas(rb_pal, target, p, cfg, h_fn,
+                                     qd_ref=qd_ref, tau_ff=tau_ff,
+                                     block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(rb_pal.s.q),
+                               np.asarray(rb_ref.s.q), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb_pal.tau),
+                               np.asarray(rb_ref.tau), atol=1e-4)
+    # feedforward actually bit: differs from the plain-PD trajectory
+    rb_plain = sbatch.control_step(rb, target, p, cfg, h_fn)
+    assert float(jnp.abs(rb_pal.s.q - rb_plain.s.q).max()) > 1e-4
+
+
+def test_megakernel_pd_latency_matches_soa():
+    """pd_latency-delayed PD input through the megakernel equals the
+    sbatch path (minitaur._GetPDObservation:1195-1199)."""
+    h_fn = terrain.height_fn(TaskConfig(task_mode="ground"))
+    B = 4
+    rb = sbatch.init_robot(B, height=0.30)
+    p = sbatch.BDynParams.default(B)
+    cfg = SimConfig(pd_latency=1.5 * SimConfig().substep_dt)
+    target = jnp.broadcast_to(
+        jnp.asarray(a1.INIT_MOTOR_ANGLES, jnp.float32)[:, None],
+        (12, B)) + 0.1
+    rb_ref = rb
+    rb_pal = rb
+    for _ in range(2):
+        rb_ref = sbatch.control_step(rb_ref, target, p, cfg, h_fn)
+        rb_pal = control_step_pallas(rb_pal, target, p, cfg, h_fn,
+                                     block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(rb_pal.s.q),
+                               np.asarray(rb_ref.s.q), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb_pal.tau),
+                               np.asarray(rb_ref.tau), atol=1e-4)
+    # and the delayed path genuinely differs from zero-latency PD
+    rb_zero = sbatch.control_step(rb, target, p, SimConfig(), h_fn)
+    assert float(jnp.abs(rb_pal.tau - rb_zero.tau).max()) > 1e-4
+
+
 def test_megakernel_stairs_terrain():
     cfg = SimConfig()
     h_fn = terrain.height_fn(TaskConfig(task_mode="up_stair",

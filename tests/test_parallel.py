@@ -107,8 +107,9 @@ def test_es_population_sharded_eval():
 
 def test_trainer_full_mesh_training():
     """ETGRLTrainer(mesh=...) trains end-to-end with envs/replay sharded
-    over an 8-device mesh (the CLI's --mesh path): one warmup chunk, one
-    learn chunk, one ES phase — all under sharded placement."""
+    over an 8-device {'env': 4, 'model': 2} mesh (the CLI's --mesh 4x2
+    path — env dp × Megatron tensor-parallel MLPs): one warmup chunk,
+    one learn chunk, one ES phase — all under sharded placement."""
     from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
                                                 SACConfig, TrainConfig)
     from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
@@ -119,7 +120,7 @@ def test_trainer_full_mesh_training():
         es=ESConfig(popsize=4, es_every_steps=B * 5, es_train_steps=1,
                     es_episode_len=5, es_num_envs=8),
         train=TrainConfig(num_envs=B, eval_every_steps=10**9, e_step=50))
-    mesh = sh.make_mesh(n_env=8, n_model=1)
+    mesh = sh.make_mesh(n_env=4, n_model=2)
     tr = ETGRLTrainer(cfg, num_envs=B, outdir="/tmp/mesh_train_test",
                       updates_per_step=1, mesh=mesh)
     carry, (w, b, p) = tr.train(max_steps=B * 10, chunk_steps=5,
@@ -127,4 +128,10 @@ def test_trainer_full_mesh_training():
     # envs actually sharded over the mesh env axis (batch-minor last axis)
     q_shard = carry.env_state.robot.s.q.sharding
     assert q_shard.spec[-1] == "env", q_shard.spec
+    # MLP kernels actually tensor-parallel over the model axis
+    from jax.sharding import PartitionSpec as P
+    specs = [x.sharding.spec
+             for x in jax.tree.leaves(carry.sac_state.actor_params)
+             if getattr(x, "ndim", 0) == 2]
+    assert any(s == P(None, "model") for s in specs), specs
     assert np.all(np.isfinite(np.asarray(carry.obs)))

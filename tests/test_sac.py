@@ -128,3 +128,50 @@ def test_x_noise_reset():
     xy = np.asarray(state.robot.s.pos[:2])
     assert xy.std() > 1e-3   # jittered
     assert np.abs(xy).max() < 0.1
+
+
+def test_ln_critic_learns_and_param_tree_superset():
+    """ln_critic adds LN leaves without renaming the Dense tree (round-2
+    checkpoint compatibility for the default config)."""
+    s0 = SAC(obs_dim=8, action_dim=3, cfg=SACConfig())
+    s1 = SAC(obs_dim=8, action_dim=3, cfg=SACConfig(ln_critic=True))
+    p0 = s0.init(jax.random.key(0)).critic_params["params"]
+    p1 = s1.init(jax.random.key(0)).critic_params["params"]
+    assert set(p0).issubset(set(p1)), (set(p0), set(p1))
+    assert any(k.startswith("LN_") for k in p1)
+    # learning still runs and stays finite
+    state = s1.init(jax.random.key(0))
+    batch = {
+        "obs": jax.random.normal(jax.random.key(1), (64, 8)),
+        "act": jnp.tanh(jax.random.normal(jax.random.key(2), (64, 3))),
+        "rew": jnp.ones((64, 1)),
+        "next_obs": jax.random.normal(jax.random.key(3), (64, 8)),
+        "terminal": jnp.ones((64, 1)),
+    }
+    for i in range(5):
+        state, info = s1.learn(state, batch, jax.random.key(i))
+    assert np.isfinite(float(info["critic_loss"]))
+
+
+def test_reset_critic_keeps_actor():
+    s = SAC(obs_dim=8, action_dim=3, cfg=SACConfig())
+    state = s.init(jax.random.key(0))
+    batch = {
+        "obs": jax.random.normal(jax.random.key(1), (64, 8)),
+        "act": jnp.tanh(jax.random.normal(jax.random.key(2), (64, 3))),
+        "rew": jnp.ones((64, 1)),
+        "next_obs": jax.random.normal(jax.random.key(3), (64, 8)),
+        "terminal": jnp.ones((64, 1)),
+    }
+    for i in range(3):
+        state, _ = s.learn(state, batch, jax.random.key(i))
+    reset = s.reset_critic(state, jax.random.key(99))
+    # actor untouched, critic re-drawn, target == critic, opt state fresh
+    a0 = jax.tree.leaves(state.actor_params)[0]
+    a1 = jax.tree.leaves(reset.actor_params)[0]
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    c_old = jax.tree.leaves(state.critic_params)[0]
+    c_new = jax.tree.leaves(reset.critic_params)[0]
+    assert float(jnp.abs(c_old - c_new).max()) > 1e-6
+    t_new = jax.tree.leaves(reset.target_critic_params)[0]
+    np.testing.assert_array_equal(np.asarray(c_new), np.asarray(t_new))

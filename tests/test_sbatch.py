@@ -31,20 +31,22 @@ def aos_to_soa(rb: robot.RobotState, B: int) -> sbatch.BRobot:
         foot_contact=jnp.zeros((4, B), bool),
         knee_contact=jnp.zeros((4, B), bool),
         base_contact=jnp.zeros((B,), bool))
-    hist = jnp.broadcast_to(s.q[None], (sbatch.OBS_HIST_LEN, 12, B))
+    row = jnp.concatenate([s.q, s.qd, s.quat, s.w], axis=0)
+    hist = jnp.broadcast_to(row[None], (sbatch.SUB_HIST_LEN, sbatch.OBS_ROW,
+                                        B))
     return sbatch.BRobot(
         s=s, last_action=s.q,
-        tau=jnp.zeros((12, B)), contact=contact,
-        q_obs_hist=hist, qd_obs_hist=jnp.zeros_like(hist))
+        tau=jnp.zeros((12, B)), contact=contact, obs_hist=hist)
 
 
 def test_soa_matches_vmap_path(flat):
-    """Step both implementations 5 control steps from the same state with
-    the same latency model (1 substep) and compare trajectories."""
-    cfg = SimConfig(control_latency=0.0)
+    """Step both implementations 5 control steps from the same state and
+    compare trajectories. Both paths now share the reference PD-input
+    semantics (pd_latency = 0 → current state), so no latency special-
+    casing is needed for them to track each other."""
+    cfg = SimConfig()
     B = 3
-    params = DynamicsParams.default().replace(
-        control_latency=jnp.asarray(0.0))
+    params = DynamicsParams.default()
     rb_aos = robot.init_robot_state(cfg, height=0.30)
     rb_soa = aos_to_soa(rb_aos, B)
     bparams = sbatch.BDynParams.default(B)
@@ -104,8 +106,66 @@ def test_delayed_obs_weights():
     B = 3
     rb = sbatch.init_robot(B, height=0.3)
     # fill hist with distinct values per slot
-    hist = jnp.stack([jnp.full((12, B), float(i)) for i in range(4)])
-    rb = rb.replace(q_obs_hist=hist, qd_obs_hist=hist)
-    latency = jnp.asarray([0.0, 0.026, 0.039])  # 0, 1, 1.5 control steps
-    q, qd = sbatch.delayed_obs(rb, latency, 0.026)
+    L = sbatch.SUB_HIST_LEN
+    hist = jnp.stack([jnp.full((sbatch.OBS_ROW, B), float(i))
+                      for i in range(L)])
+    rb = rb.replace(obs_hist=hist)
+    sdt = 0.0026
+    latency = jnp.asarray([0.0, sdt, 1.5 * sdt])  # 0, 1, 1.5 substeps
+    q, qd, quat, w = sbatch.delayed_obs(rb, latency, sdt)
     np.testing.assert_allclose(np.asarray(q[0]), [0.0, 1.0, 1.5], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(quat[0]), [0.0, 1.0, 1.5],
+                               atol=1e-5)
+
+
+def test_substep_ring_timeline(flat):
+    """After a control step the ring holds the n substep states newest-
+    first, continuing into the previous step's snapshots."""
+    cfg = SimConfig()
+    B = 2
+    p = sbatch.BDynParams.default(B)
+    rb = sbatch.init_robot(B, height=0.30)
+    target = jnp.broadcast_to(
+        jnp.asarray(a1.INIT_MOTOR_ANGLES)[:, None], (12, B)) + 0.02
+    rb1 = sbatch.control_step(rb, target, p, cfg, flat)
+    # slot 0 == final state
+    np.testing.assert_allclose(np.asarray(rb1.obs_hist[0, :12]),
+                               np.asarray(rb1.s.q), atol=0)
+    np.testing.assert_allclose(np.asarray(rb1.obs_hist[0, 24:28]),
+                               np.asarray(rb1.s.quat), atol=0)
+    # slot n == pre-step state (the old slot 0)
+    n = cfg.action_repeat
+    np.testing.assert_allclose(np.asarray(rb1.obs_hist[n, :12]),
+                               np.asarray(rb.s.q), atol=0)
+    # slots strictly newest-first: q at slot1 is one substep older
+    rb2 = sbatch.control_step(rb1, target, p, cfg, flat)
+    np.testing.assert_allclose(np.asarray(rb2.obs_hist[n]),
+                               np.asarray(rb1.obs_hist[0]), atol=0)
+
+
+def test_pd_latency_delays_pd_input(flat):
+    """cfg.pd_latency > 0 feeds the PD loop an older (q, q̇) — the torque
+    trajectory must differ from the zero-latency default, and the
+    1-substep case must equal PD on the previous substep state."""
+    B = 2
+    p = sbatch.BDynParams.default(B)
+    target = jnp.broadcast_to(
+        jnp.asarray(a1.INIT_MOTOR_ANGLES)[:, None], (12, B)) + 0.15
+    rb0 = sbatch.init_robot(B, height=0.30)
+    cfg0 = SimConfig()
+    cfg1 = SimConfig(pd_latency=cfg0.substep_dt)  # exactly 1 substep
+    rb_a = sbatch.control_step(rb0, target, p, cfg0, flat)
+    rb_b = sbatch.control_step(rb0, target, p, cfg1, flat)
+    assert float(jnp.max(jnp.abs(rb_a.tau - rb_b.tau))) > 1e-4
+    # Manual check of the final substep's torque for the delayed path.
+    # At substep i the ring head is the end-of-substep-(i-1) state and a
+    # 1-substep latency reads one entry older (reference
+    # _GetDelayedObservation: n_steps_ago=1 → history[1]): for i = n-1
+    # that is the end of substep n-3 = post-step ring slot 2.
+    q_in = rb_b.obs_hist[2, :12]
+    qd_in = rb_b.obs_hist[2, 12:24]
+    # final interpolated command = target
+    tau_exp = jnp.clip(-p.motor_kp * (q_in - target) - p.motor_kd * qd_in,
+                       -a1.TORQUE_LIMIT[0], a1.TORQUE_LIMIT[0])
+    np.testing.assert_allclose(np.asarray(rb_b.tau), np.asarray(tau_exp),
+                               atol=1e-5)
