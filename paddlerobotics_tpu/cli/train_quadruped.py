@@ -129,8 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--step_height", type=float, default=0.08)
     p.add_argument("--step_width", type=float, default=0.3)
     p.add_argument("--slope", type=float, default=0.2)
-    p.add_argument("--ETG_path", type=str, default="None",
-                   help="npz with pretrained ETG 'param' (train.py:281)")
+    p.add_argument("--ETG_path", type=str, default="auto",
+                   help="npz with pretrained ETG 'param' (train.py:281). "
+                        "'auto' (default) resolves the shipped per-task "
+                        "seed from paddlerobotics_tpu/assets/etg_seeds/ "
+                        "when one exists (etg/seeds.py); 'None' forces "
+                        "the zero-offset prior")
     p.add_argument("--ln_critic", type=int, default=0,
                    help="LayerNorm critics — plasticity stabilizer for "
                         "high --updates_per_step schedules "
@@ -256,7 +260,14 @@ def main(argv=None):
         print(f"eval reward {float(ret):.2f} steps {float(steps):.1f}")
         return
     init_param = None
-    if args.ETG_path not in ("", "None") and os.path.exists(args.ETG_path):
+    if args.ETG_path == "auto":
+        from paddlerobotics_tpu.etg import seeds as etg_seeds
+
+        init_param = etg_seeds.load_seed_param(args.task_mode)
+        if init_param is not None:
+            print(f"ETG seed: shipped {args.task_mode} artifact "
+                  f"({etg_seeds.seed_path(args.task_mode)})")
+    elif args.ETG_path not in ("", "None") and os.path.exists(args.ETG_path):
         import numpy as np
 
         init_param = np.load(args.ETG_path)["param"].reshape(-1)

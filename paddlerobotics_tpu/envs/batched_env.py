@@ -461,6 +461,11 @@ class BatchedQuadrupedEnv:
             sel_b_last = lambda f, n: jnp.where(
                 done.reshape((1,) * (n.ndim - 1) + (-1,)), f, n)
             rb_next = jax.tree.map(sel_b_last, fresh, new_state.robot)
+            # hist_head is a shared () scalar — keep the live head (a
+            # fresh ring is row-uniform, so any head reads the same
+            # values for reset envs)
+            rb_next = rb_next.replace(
+                hist_head=new_state.robot.hist_head)
             fresh_fz = self._af.init_filter_state(self._fb, self._fa,
                                                   fresh.s.q)
             dyn_next = new_state.dyn._replace(

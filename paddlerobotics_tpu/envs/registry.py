@@ -12,6 +12,21 @@ from paddlerobotics_tpu.envs.quadruped_env import QuadrupedEnv
 
 _ENV_REGISTRY = {}
 
+# Per-task training recipes (the reference ships trained artifacts for
+# its nine tasks, README.md:77; here the registry carries the schedule
+# that reproduces each task from scratch — docs/task_matrix.md). Tasks
+# absent from this dict train with the CLI defaults (B=4096, K=4,
+# warmup 2e5). The uphill modes need the sample-efficiency schedule
+# (docs/update_schedule.md) + the shipped ETG seed
+# (paddlerobotics_tpu/assets/etg_seeds/, auto-resolved by
+# --ETG_path auto) + a plasticity stabilizer to hold their plateau.
+TASK_PRESETS: dict = {
+    "up_slope": dict(num_envs=1024, updates_per_step=16,
+                     warmup_steps=200_000, ln_critic=True),
+    "slopeslope": dict(num_envs=1024, updates_per_step=16,
+                       warmup_steps=200_000, ln_critic=True),
+}
+
 
 def register_env(name: str, factory):
     _ENV_REGISTRY[name] = factory

@@ -138,6 +138,7 @@ def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
     grid = (B // blk,)
     n = cfg.action_repeat
     L = rb.obs_hist.shape[0]
+    assert L % n == 0, (L, n)   # ring block writes never wrap
     taps = sbatch.pd_delay_taps(cfg, L)
 
     def bspec(shape):
@@ -151,7 +152,7 @@ def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
                 zeros12 if qd_ref is None else jnp.asarray(qd_ref, F32),
                 zeros12 if tau_ff is None else jnp.asarray(tau_ff, F32))
     if taps:
-        state_in += (rb.obs_hist[:taps[0], :24],)
+        state_in += (sbatch.pd_ring_seed(rb, taps),)
     param_in = tuple(jnp.asarray(getattr(p, f), F32)
                      for f in _PARAM_FIELDS)
     const_in = tuple(jnp.asarray(sbatch.CONST_INPUTS[k], F32)
@@ -193,6 +194,6 @@ def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
     ns = BQuadState(pos=pos, quat=quat, w=w, v=v, q=q, qd=qd)
     contact = BContact(foot_pos=foot_pos, foot_contact=fcon > 0.5,
                        knee_contact=kcon > 0.5, base_contact=bcon > 0.5)
-    hist = jnp.concatenate([rows[::-1], rb.obs_hist[:L - n]], axis=0)
+    hist, head = sbatch.ring_push(rb.obs_hist, rb.hist_head, rows)
     return BRobot(s=ns, last_action=jnp.asarray(action, F32), tau=tau,
-                  contact=contact, obs_hist=hist)
+                  contact=contact, obs_hist=hist, hist_head=head)

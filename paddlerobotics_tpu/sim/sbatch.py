@@ -51,7 +51,10 @@ F32 = jnp.float32
 # Substep-snapshot row layout (GetTrueObservation minus the torque slot):
 # [q(0:12) | qd(12:24) | quat(24:28) | w(28:31)]
 OBS_ROW = 31
-SUB_HIST_LEN = 32  # default ring length: 32 × 2.6 ms ≈ 83 ms ≥ 80 ms DR range
+# Default ring length: 40 × 2.6 ms = 104 ms ≥ the 80 ms DR latency range.
+# A multiple of action_repeat so each control step writes ONE contiguous
+# n-row block at a rolling head (no full-ring shift in HBM).
+SUB_HIST_LEN = 40
 
 
 # --- state -------------------------------------------------------------------
@@ -83,9 +86,17 @@ class BRobot:
     tau: jnp.ndarray          # (12,B) applied torques (last substep)
     contact: BContact
     # Substep-resolution observation ring (minitaur._observation_history,
-    # deque(100) analogue): slot 0 = newest = end of the latest substep,
-    # rows laid out [q | qd | quat | w] (OBS_ROW).
+    # deque(100) analogue), rows laid out [q | qd | quat | w] (OBS_ROW).
+    # CIRCULAR: `hist_head` is the physical index of the NEWEST row;
+    # logical age k lives at physical (hist_head - k) mod L. Each
+    # control step writes its n substep rows as one contiguous block at
+    # (hist_head + 1 .. hist_head + n) — L is a multiple of
+    # action_repeat, so the block never wraps and the ring update is a
+    # single dynamic_update_slice instead of a full-ring shift.
     obs_hist: jnp.ndarray     # (L, OBS_ROW, B)
+    hist_head: jnp.ndarray    # () int32, shared by all envs (fresh
+                              # rings are row-uniform, so autoreset
+                              # never needs a per-env head)
 
 
 class BDynParams(NamedTuple):
@@ -666,7 +677,7 @@ def substep(rb: BRobot, cmd: jnp.ndarray, p: BDynParams, cfg: SimConfig,
                               w=jnp.zeros_like(s.w), v=jnp.zeros_like(s.v))
     return BRobot(
         s=s_new, last_action=rb.last_action, tau=tau, contact=contact,
-        obs_hist=rb.obs_hist)
+        obs_hist=rb.obs_hist, hist_head=rb.hist_head)
 
 
 def pd_delay_taps(cfg: SimConfig, hist_len: int):
@@ -707,10 +718,11 @@ def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
     n = cfg.action_repeat
     inertias = build_inertias(p)
     L = rb.obs_hist.shape[0]
+    assert L % n == 0, (L, n)   # contiguous block writes never wrap
     taps = pd_delay_taps(cfg, L)
     # PD ring seed: newest-first (q, qd) substep snapshots carried over
-    # from the previous control step (obs_hist[0] == the current state).
-    ph0 = rb.obs_hist[:taps[0], :24] if taps else jnp.zeros(
+    # from the previous control step (ring head == the current state).
+    ph0 = pd_ring_seed(rb, taps) if taps else jnp.zeros(
         (1, 1, rb.s.q.shape[-1]), F32)
 
     def body(carry, i):
@@ -734,9 +746,26 @@ def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
 
     (rb, _), rows = jax.lax.scan(body, (rb, ph0),
                                  jnp.arange(n, dtype=F32))
-    # rows is (n, OBS_ROW, B), substep order → newest-first into the ring
-    hist = jnp.concatenate([rows[::-1], rb.obs_hist[:L - n]], axis=0)
-    return rb.replace(last_action=action, obs_hist=hist)
+    # rows is (n, OBS_ROW, B) in substep order; write the block after
+    # the head (one contiguous in-place store — no ring shift)
+    hist, head = ring_push(rb.obs_hist, rb.hist_head, rows)
+    return rb.replace(last_action=action, obs_hist=hist, hist_head=head)
+
+
+def ring_push(obs_hist: jnp.ndarray, head: jnp.ndarray,
+              rows: jnp.ndarray):
+    """Write `rows` (n, OBS_ROW, B) after `head`; newest = last row."""
+    L, n = obs_hist.shape[0], rows.shape[0]
+    o = (head + 1) % L
+    hist = jax.lax.dynamic_update_slice(obs_hist, rows, (o, 0, 0))
+    return hist, o + n - 1
+
+
+def pd_ring_seed(rb: BRobot, taps) -> jnp.ndarray:
+    """Newest-first (P, 24, B) (q, qd) rows from the circular ring."""
+    L = rb.obs_hist.shape[0]
+    idx = (rb.hist_head - jnp.arange(taps[0])) % L
+    return jnp.take(rb.obs_hist[:, :24], idx, axis=0)
 
 
 def delayed_obs(rb: BRobot, latency: jnp.ndarray, substep_dt: float):
@@ -749,8 +778,10 @@ def delayed_obs(rb: BRobot, latency: jnp.ndarray, substep_dt: float):
     """
     L = rb.obs_hist.shape[0]
     f = jnp.clip(latency / substep_dt, 0.0, L - 1.001)      # (B,)
-    slots = jnp.arange(L, dtype=F32)[:, None]               # (L,1)
-    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(slots - f[None, :]))  # (L,B)
+    # logical age of each PHYSICAL slot under the rolling head — the
+    # weight permutation replaces any data movement of the ring itself
+    ages = ((rb.hist_head - jnp.arange(L)) % L).astype(F32)[:, None]
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ages - f[None, :]))  # (L,B)
     ob = jnp.einsum("lb,ljb->jb", wgt, rb.obs_hist)          # (OBS_ROW,B)
     return ob[:12], ob[12:24], ob[24:28], ob[28:31]
 
@@ -773,4 +804,5 @@ def init_robot(B: int, height, q0=None,
         base_contact=jnp.zeros((B,), bool))
     hist = jnp.broadcast_to(_obs_row(s)[None], (hist_len, OBS_ROW, B))
     return BRobot(s=s, last_action=q, tau=jnp.zeros((12, B), F32),
-                  contact=contact, obs_hist=hist)
+                  contact=contact, obs_hist=hist,
+                  hist_head=jnp.asarray(hist_len - 1, jnp.int32))

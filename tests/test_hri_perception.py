@@ -285,9 +285,31 @@ def test_ernie_paddle_import_roundtrip(tmp_path):
     variables = m.init(jax.random.key(3), ids)
 
     named = export_ernie_params(variables, cfg)
-    # every reference param name present, e.g. the fc/layer-norm scheme
-    assert "encoder_layer_1_multi_head_att_query_fc.w_0" in named
-    assert "encoder_layer_0_post_ffn_layer_norm_scale" in named
+    # Full-fidelity manifest check (VERDICT r2 #7): the exact var-name
+    # set a fluid save_params dir of ERNIE v1 contains, derived BY HAND
+    # from the reference's graph-construction code (independent of our
+    # exporter): embeddings ernie_v1.py:62-64, pooled_fc:138-141,
+    # pre_encoder layer norm via pre_process_layer(...'nd'...):98 +
+    # transformer.py:208-215, per layer the multi_head_att q/k/v/output
+    # fc pairs (transformer.py:53-69,152-154), ffn fc_0/fc_1
+    # (transformer.py:175-189), and post_att/post_ffn layer norms
+    # ('dan' postprocess, transformer.py:259-293).
+    expected = {"word_embedding", "pos_embedding", "sent_embedding",
+                "pooled_fc.w_0", "pooled_fc.b_0",
+                "pre_encoder_layer_norm_scale",
+                "pre_encoder_layer_norm_bias"}
+    for i in range(cfg.num_layers):
+        base = f"encoder_layer_{i}"
+        for proj in ("query", "key", "value", "output"):
+            expected.add(f"{base}_multi_head_att_{proj}_fc.w_0")
+            expected.add(f"{base}_multi_head_att_{proj}_fc.b_0")
+        for fc in ("fc_0", "fc_1"):
+            expected.add(f"{base}_ffn_{fc}.w_0")
+            expected.add(f"{base}_ffn_{fc}.b_0")
+        for tag in ("post_att", "post_ffn"):
+            expected.add(f"{base}_{tag}_layer_norm_scale")
+            expected.add(f"{base}_{tag}_layer_norm_bias")
+    assert set(named) == expected
     for name, arr in named.items():
         (tmp_path / name).write_bytes(_encode_paddle_var(arr))
 
@@ -301,3 +323,93 @@ def test_ernie_paddle_import_roundtrip(tmp_path):
                                np.asarray(ref_seq), atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_pool),
                                np.asarray(ref_pool), atol=1e-6)
+
+
+def test_mars_small128_slim_name_replica():
+    """Full-fidelity name replica (VERDICT r2 #7): the mars-small128
+    frozen graph was exported from TF-slim (nwojke cosine_metric_learning
+    network_definition), whose variable names follow the slim
+    convention — `<scope>/weights` kernels with BN under a NESTED
+    `<scope>/BatchNorm/{gamma,beta,moving_mean,moving_variance}` scope,
+    outer scopes conv1_1, conv1_2, conv2_1, conv2_3, conv3_1, conv3_3,
+    conv4_1, conv4_3 (residual pairs, `<scope>/1`, `<scope>/2`,
+    `<scope>/projection` inside), then fc1 + a final BN. This test
+    feeds import_tf_consts a graph with THOSE names (the previous
+    round-trip used flax-derived names — circular w.r.t. the importer's
+    assumptions); values remain synthetic (zero-egress: no real pb)."""
+    import jax
+    from paddlerobotics_tpu.hri.perception.reid import import_tf_consts
+    from paddlerobotics_tpu.hri.perception.tf_graph import (
+        encode_const_graph, parse_graph_consts)
+
+    m = MarsSmall128()
+    rng = np.random.RandomState(7)
+    variables = m.init(jax.random.key(0), jnp.zeros((1, 128, 64, 3)),
+                       False)
+
+    def randomize(path, a):
+        name = path[-1].key
+        if name in ("mean", "bias"):
+            return jnp.asarray(rng.normal(0, 0.1, a.shape), a.dtype)
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.8, 1.2, a.shape), a.dtype)
+        if name == "scale":
+            return jnp.asarray(rng.uniform(0.9, 1.1, a.shape), a.dtype)
+        return jnp.asarray(rng.normal(0, 0.08, a.shape), a.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(randomize, variables)
+    p, s = variables["params"], variables["batch_stats"]
+
+    consts = []
+
+    def kernel(tf_scope, path):
+        node = p
+        for k in path:
+            node = node[k]
+        consts.append((f"{tf_scope}/weights", np.asarray(node["kernel"])))
+
+    def bn(tf_scope, path):
+        pn, sn = p, s
+        for k in path:
+            pn, sn = pn[k], sn[k]
+        pre = f"{tf_scope}/BatchNorm"
+        consts.append((f"{pre}/gamma", np.asarray(pn["scale"])))
+        consts.append((f"{pre}/beta", np.asarray(pn["bias"])))
+        consts.append((f"{pre}/moving_mean", np.asarray(sn["mean"])))
+        consts.append((f"{pre}/moving_variance", np.asarray(sn["var"])))
+
+    kernel("conv1_1", ("Conv_0",))
+    bn("conv1_1", ("BatchNorm_0",))
+    kernel("conv1_2", ("Conv_1",))
+    bn("conv1_2", ("BatchNorm_1",))
+    res_scopes = ["conv2_1", "conv2_3", "conv3_1", "conv3_3",
+                  "conv4_1", "conv4_3"]
+    for i, scope in enumerate(res_scopes):
+        r = f"_Residual_{i}"
+        bn(f"{scope}/1", (r, "BatchNorm_0"))
+        kernel(f"{scope}/1", (r, "Conv_0"))
+        bn(f"{scope}/2", (r, "BatchNorm_1"))
+        kernel(f"{scope}/2", (r, "Conv_1"))
+        if "Conv_2" in p[r]:
+            kernel(f"{scope}/projection", (r, "Conv_2"))
+    consts.append(("fc1/weights", np.asarray(p["Dense_0"]["kernel"])))
+    bn("fc1", ("BatchNorm_2",))
+
+    zeroed = jax.tree_util.tree_map(lambda a: a, variables)
+    for name, node in zeroed["params"].items():
+        if name.startswith(("Conv", "Dense")):
+            node["bias"] = jnp.zeros_like(node["bias"])
+    for rn in [k for k in zeroed["params"] if k.startswith("_Resid")]:
+        for name, node in zeroed["params"][rn].items():
+            if name.startswith("Conv"):
+                node["bias"] = jnp.zeros_like(node["bias"])
+
+    imported = import_tf_consts(
+        parse_graph_consts(encode_const_graph(consts)))
+
+    x = jnp.asarray(np.random.RandomState(9).rand(2, 128, 64, 3),
+                    jnp.float32)
+    ref = np.asarray(m.apply(zeroed, x, False))
+    got = np.asarray(m.apply(imported, x, False))
+    assert np.abs(ref).max() > 0.1
+    np.testing.assert_allclose(got, ref, atol=1e-5)

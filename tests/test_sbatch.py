@@ -36,7 +36,14 @@ def aos_to_soa(rb: robot.RobotState, B: int) -> sbatch.BRobot:
                                         B))
     return sbatch.BRobot(
         s=s, last_action=s.q,
-        tau=jnp.zeros((12, B)), contact=contact, obs_hist=hist)
+        tau=jnp.zeros((12, B)), contact=contact, obs_hist=hist,
+        hist_head=jnp.asarray(sbatch.SUB_HIST_LEN - 1, jnp.int32))
+
+
+def logical_slot(rb: sbatch.BRobot, k: int):
+    """Ring row that is k substeps old (0 = newest)."""
+    L = rb.obs_hist.shape[0]
+    return rb.obs_hist[(int(rb.hist_head) - k) % L]
 
 
 def test_soa_matches_vmap_path(flat):
@@ -105,10 +112,11 @@ def test_soa_stand(flat):
 def test_delayed_obs_weights():
     B = 3
     rb = sbatch.init_robot(B, height=0.3)
-    # fill hist with distinct values per slot
+    # fill hist so the row of logical AGE k holds the value k
+    # (init head = L-1, so age k lives at physical L-1-k)
     L = sbatch.SUB_HIST_LEN
-    hist = jnp.stack([jnp.full((sbatch.OBS_ROW, B), float(i))
-                      for i in range(L)])
+    hist = jnp.stack([jnp.full((sbatch.OBS_ROW, B), float(L - 1 - p))
+                      for p in range(L)])
     rb = rb.replace(obs_hist=hist)
     sdt = 0.0026
     latency = jnp.asarray([0.0, sdt, 1.5 * sdt])  # 0, 1, 1.5 substeps
@@ -128,19 +136,24 @@ def test_substep_ring_timeline(flat):
     target = jnp.broadcast_to(
         jnp.asarray(a1.INIT_MOTOR_ANGLES)[:, None], (12, B)) + 0.02
     rb1 = sbatch.control_step(rb, target, p, cfg, flat)
-    # slot 0 == final state
-    np.testing.assert_allclose(np.asarray(rb1.obs_hist[0, :12]),
+    # logical slot 0 == final state
+    np.testing.assert_allclose(np.asarray(logical_slot(rb1, 0)[:12]),
                                np.asarray(rb1.s.q), atol=0)
-    np.testing.assert_allclose(np.asarray(rb1.obs_hist[0, 24:28]),
+    np.testing.assert_allclose(np.asarray(logical_slot(rb1, 0)[24:28]),
                                np.asarray(rb1.s.quat), atol=0)
-    # slot n == pre-step state (the old slot 0)
+    # logical slot n == pre-step state (the old newest row)
     n = cfg.action_repeat
-    np.testing.assert_allclose(np.asarray(rb1.obs_hist[n, :12]),
+    np.testing.assert_allclose(np.asarray(logical_slot(rb1, n)[:12]),
                                np.asarray(rb.s.q), atol=0)
-    # slots strictly newest-first: q at slot1 is one substep older
-    rb2 = sbatch.control_step(rb1, target, p, cfg, flat)
-    np.testing.assert_allclose(np.asarray(rb2.obs_hist[n]),
-                               np.asarray(rb1.obs_hist[0]), atol=0)
+    # slots strictly newest-first across steps (incl. a ring wrap after
+    # L/n steps)
+    rb2 = rb1
+    for _ in range(1 + sbatch.SUB_HIST_LEN // n):
+        prev = rb2
+        rb2 = sbatch.control_step(rb2, target, p, cfg, flat)
+        np.testing.assert_allclose(np.asarray(logical_slot(rb2, n)),
+                                   np.asarray(logical_slot(prev, 0)),
+                                   atol=0)
 
 
 def test_pd_latency_delays_pd_input(flat):
@@ -161,9 +174,9 @@ def test_pd_latency_delays_pd_input(flat):
     # At substep i the ring head is the end-of-substep-(i-1) state and a
     # 1-substep latency reads one entry older (reference
     # _GetDelayedObservation: n_steps_ago=1 → history[1]): for i = n-1
-    # that is the end of substep n-3 = post-step ring slot 2.
-    q_in = rb_b.obs_hist[2, :12]
-    qd_in = rb_b.obs_hist[2, 12:24]
+    # that is the end of substep n-3 = post-step logical slot 2.
+    q_in = logical_slot(rb_b, 2)[:12]
+    qd_in = logical_slot(rb_b, 2)[12:24]
     # final interpolated command = target
     tau_exp = jnp.clip(-p.motor_kp * (q_in - target) - p.motor_kd * qd_in,
                        -a1.TORQUE_LIMIT[0], a1.TORQUE_LIMIT[0])
