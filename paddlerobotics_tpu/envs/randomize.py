@@ -57,12 +57,26 @@ def sample_dynamics(rng: jax.Array, enable: bool = True,
                     scale: float = 1.0) -> DynamicsParams:
     """Sample randomized dynamics (Random_Param_Dict['random_dynamics']).
 
-    `scale` shrinks the normalized sample toward nominal (curriculum)."""
+    `scale` is the curriculum knob: the PHYSICAL interpolation between
+    the nominal dynamics (DynamicsParams.default — μ 0.6, 2 ms latency,
+    kp 100) at 0 and a full reference draw (param2dynamic of a
+    uniform [-1,1]⁴⁸ vector, train.py:112-126) at 1.
+
+    Round-2 scaled the NORMALIZED vector instead — but the reference
+    mapping's center p=0 is NOT nominal (friction 0.2 ≈ ice, latency
+    40 ms, kp 80), so a small scale concentrated every draw at a harsh
+    operating point rather than easing in from learnable physics; on
+    stairs that flatlined the whole curriculum (the round-3 feasibility
+    probes measured 0 open-loop survival at the old scale-0.6 stairs
+    distribution). At scale=1 the two definitions coincide — the
+    round-2 full-range results are unaffected."""
     if not enable:
         return DynamicsParams.default()
     p = jax.random.uniform(rng, (NUM_DYNAMIC_PARAMS,), minval=-1.0,
-                           maxval=1.0) * scale
-    return param2dynamic(p)
+                           maxval=1.0)
+    drawn = param2dynamic(p)
+    nominal = DynamicsParams.default()
+    return jax.tree.map(lambda d, r: d + scale * (r - d), nominal, drawn)
 
 
 def dynamics_to_normalized(dyn) -> jnp.ndarray:

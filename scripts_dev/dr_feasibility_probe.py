@@ -26,6 +26,11 @@ from paddlerobotics_tpu.envs.batched_env import (BatchedQuadrupedEnv,  # noqa: E
 
 B = 1024
 STEPS = 400
+import sys  # noqa: E402
+
+TASK = sys.argv[1] if len(sys.argv) > 1 else "ground"
+SCALE = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+USE_SEED = len(sys.argv) > 3 and sys.argv[3] == "seed"
 
 def factor_scalars(p):
     """Collapse the 48-dim normalized draw into named per-factor
@@ -42,17 +47,38 @@ def factor_scalars(p):
 
 
 def main():
+    import dataclasses
+
     cfg = QuadrupedConfig()
+    cfg = dataclasses.replace(
+        cfg, task=dataclasses.replace(cfg.task, task_mode=TASK))
     env = BatchedQuadrupedEnv(cfg, num_envs=B)
 
     key = jax.random.key(7)
     k_p, k_env = jax.random.split(key)
-    p = jax.random.uniform(k_p, (B, randomize.NUM_DYNAMIC_PARAMS),
-                           minval=-1.0, maxval=1.0)
+    p = SCALE * jax.random.uniform(
+        k_p, (B, randomize.NUM_DYNAMIC_PARAMS), minval=-1.0, maxval=1.0)
     dp = jax.vmap(randomize.param2dynamic)(p)
     dyn = BDynParams.from_leading(dp)
 
-    state, obs = jax.jit(env.reset)(k_env, dyn=dyn)
+    etg_kw = {}
+    if USE_SEED:
+        # start from the shipped per-task ETG seed gait (the gait every
+        # seeded SAC run starts from), not the flat-ground prior
+        from paddlerobotics_tpu.etg import fit as etg_fit
+        from paddlerobotics_tpu.etg import seeds as etg_seeds
+        param = etg_seeds.load_seed_param(TASK)
+        if param is not None:
+            pts = etg_fit.prior_points(cfg.etg) + param.reshape(6, 2)
+            w0, b0 = etg_fit.opt_with_points(cfg.etg)
+            w, b = etg_fit.opt_with_points(cfg.etg, points=pts,
+                                           w0=w0, b0=b0)
+            etg_kw = dict(
+                etg_w=jnp.broadcast_to(jnp.asarray(w)[..., None],
+                                       w.shape + (B,)),
+                etg_b=jnp.broadcast_to(jnp.asarray(b)[..., None],
+                                       (3, B)))
+    state, obs = jax.jit(env.reset)(k_env, dyn=dyn, **etg_kw)
 
     def body(c, _):
         state, velx, alive, steps = c
@@ -73,7 +99,8 @@ def main():
     walked = mean_velx >= 0.15                # made real forward progress
 
     out = {
-        "B": B, "steps": STEPS,
+        "B": B, "steps": STEPS, "task": TASK, "scale": SCALE,
+        "seed_gait": USE_SEED,
         "survive_frac": round(float(survived.mean()), 3),
         "walk_frac": round(float(walked.mean()), 3),
         "mean_episode_steps": round(float(steps.mean()), 1),
@@ -107,7 +134,9 @@ def main():
         out[f"decile_{name}"] = prof
 
     os.makedirs("/tmp/dr_study", exist_ok=True)
-    with open("/tmp/dr_study/feasibility_openloop.json", "w") as f:
+    path = (f"/tmp/dr_study/feasibility_{TASK}_{SCALE}" +
+            ("_seed" if USE_SEED else "") + ".json")
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

@@ -64,19 +64,26 @@ def run(tag, B, K, arm, arm_kw, seed=0):
 
 
 def main():
+    import sys
+
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     os.makedirs("/tmp/stab_sweep", exist_ok=True)
+    summary = f"/tmp/stab_sweep/summary_s{seed}.json"
     results = []
     for tag, B, K in SCHEDS:
+        if only and tag != only:
+            continue
         for arm, kw in ARMS:
             try:
-                r = run(tag, B, K, arm, kw)
+                r = run(tag, B, K, arm, kw, seed=seed)
             except Exception:
                 traceback.print_exc()
                 r = {"sched": tag, "arm": arm,
                      "error": traceback.format_exc()[-200:]}
             print(json.dumps(r), flush=True)
             results.append(r)
-            with open("/tmp/stab_sweep/summary.json", "w") as f:
+            with open(summary, "w") as f:
                 json.dump(results, f, indent=1)
 
 

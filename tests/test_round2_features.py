@@ -291,3 +291,39 @@ def test_overheat_latch_per_env():
         state, _, _, _, _ = step(state)
     assert not bool(jnp.any(state.motor_on))
     assert float(jnp.abs(state.robot.applied_torque).max()) == 0.0
+
+
+def test_dr_scale_interpolates_from_nominal():
+    """Curriculum semantics (round-3 fix, docs/dr_study.md addendum):
+    dr_scale interpolates PHYSICAL dynamics between the true nominal
+    (DynamicsParams.default) at 0 and a full param2dynamic draw at 1 —
+    NOT toward the reference mapping's harsh p=0 center (friction 0.2,
+    40 ms latency)."""
+    import jax.numpy as jnp
+
+    from paddlerobotics_tpu.sim.dynamics import DynamicsParams
+
+    k = jax.random.key(3)
+    d0 = randomize.sample_dynamics(k, scale=0.0)
+    dn = DynamicsParams.default()
+    for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(dn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+    # scale 1 == the raw reference draw (the round-2 full-range results
+    # are unaffected by the curriculum change)
+    d1 = randomize.sample_dynamics(k, scale=1.0)
+    p = jax.random.uniform(k, (randomize.NUM_DYNAMIC_PARAMS,),
+                           minval=-1.0, maxval=1.0)
+    dref = randomize.param2dynamic(p)
+    for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(dref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+    # midpoint: friction multiplier strictly between nominal (1.0) and
+    # the draw's — never pinned at the p=0 ice center
+    dh = randomize.sample_dynamics(k, scale=0.5)
+    f_mid = float(dh.foot_friction)
+    lo, hi = sorted([float(dn.foot_friction), float(dref.foot_friction)])
+    assert lo <= f_mid <= hi
+    np.testing.assert_allclose(
+        f_mid, 0.5 * (float(dn.foot_friction) +
+                      float(dref.foot_friction)), rtol=1e-5)
