@@ -4,6 +4,20 @@ The reference optimizes the 12 ETG control-point offsets with SimpleGA
 on zero-policy rollouts (pretrain.py:220-277), one serial 400-step
 episode per candidate. Here the whole population rides the env batch:
 one `es_eval`-style rollout per generation, policy ≡ 0.
+
+Fitness is the episode reward sum PLUS an explicit per-step alive
+bonus (`alive_bonus`, default 1.0). The reference uses the plain sum
+(pretrain.py:232-242) and gets away with it because its MonitorEnv
+reward is net-positive per step for a nominal gait, so surviving
+strictly dominates dying. Our calibrated reward shapes (envs/reward.py)
+are net-negative per step for slow open-loop gaits (≈-0.5/step measured
+at nominal — scripts_dev/openloop_probe.py), which makes
+"fall forward fast, die at step ~7 with a few positive progress steps"
+the global optimum of the plain sum: ES reliably converges on
+falling gaits at any population size. The alive bonus restores the
+survival-dominance property the reference's landscape has naturally;
+among surviving candidates it is a constant offset and leaves the
+ranking (faster walking = higher fitness) unchanged.
 """
 
 from __future__ import annotations
@@ -22,8 +36,9 @@ from paddlerobotics_tpu.train import metrics as metrics_mod
 
 class ETGPretrainer:
     def __init__(self, config: QuadrupedConfig, num_envs: int | None = None,
-                 outdir: str = "pretrain_log"):
+                 outdir: str = "pretrain_log", alive_bonus: float = 1.0):
         self.cfg = config
+        self.alive_bonus = float(alive_bonus)
         self.B = num_envs or max(config.es.popsize * 8, config.es.popsize)
         assert self.B % config.es.popsize == 0
         self.env = BatchedQuadrupedEnv(config, self.B)
@@ -53,7 +68,7 @@ class ETGPretrainer:
             state, ret, alive = c
             nstate, _, rew, done, _ = self.env.step(
                 state, jnp.zeros((self.B, 12)), autoreset=False)
-            ret = ret + rew * alive
+            ret = ret + (rew + self.alive_bonus) * alive
             alive = alive * (1.0 - done.astype(jnp.float32))
             return (nstate, ret, alive), None
 

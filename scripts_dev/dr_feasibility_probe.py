@@ -56,9 +56,15 @@ def main():
 
     key = jax.random.key(7)
     k_p, k_env = jax.random.split(key)
-    p = SCALE * jax.random.uniform(
+    # round-3 curriculum semantics (randomize.sample_dynamics): physical
+    # interpolation between nominal dynamics at scale 0 and a full
+    # reference draw at 1 — NOT scaling the normalized vector.
+    p = jax.random.uniform(
         k_p, (B, randomize.NUM_DYNAMIC_PARAMS), minval=-1.0, maxval=1.0)
-    dp = jax.vmap(randomize.param2dynamic)(p)
+    drawn = jax.vmap(randomize.param2dynamic)(p)
+    nominal = jax.vmap(lambda _: randomize.DynamicsParams.default())(
+        jnp.zeros(B))
+    dp = jax.tree.map(lambda d, r: d + SCALE * (r - d), nominal, drawn)
     dyn = BDynParams.from_leading(dp)
 
     etg_kw = {}

@@ -34,10 +34,11 @@ def main():
                                     use_pallas=True),
             task=TaskConfig(task_mode=mode))
         t0 = time.time()
-        # B=4096 (the CLI default): ~100 envs per candidate — small-B
-        # fitness is too noisy and ES converges on flailing-that-falls
-        # (the round-3 B=320 attempt produced falls-at-step-7 "seeds")
-        tr = ETGPretrainer(cfg, num_envs=4080, outdir=f"/tmp/seed_{mode}")
+        # B=5120 (divisible by popsize 40 AND the pallas block 1024):
+        # 128 envs per candidate — small-B fitness is too noisy and ES
+        # converges on flailing-that-falls (the round-3 B=320 attempt
+        # produced falls-at-step-7 "seeds")
+        tr = ETGPretrainer(cfg, num_envs=5120, outdir=f"/tmp/seed_{mode}")
         best, best_r, (w, b) = tr.train(generations=150, seed=0)
 
         # health gate: the seed gait must SURVIVE open-loop at nominal

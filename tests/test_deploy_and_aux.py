@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
-                                            ETGConfig, TrainConfig)
+                                            ETGConfig, TaskConfig,
+                                            TrainConfig)
 from paddlerobotics_tpu.deploy import bezier, estimator, policy_export
 
 
@@ -111,6 +112,42 @@ def test_pretrainer_smoke():
     best, best_r, (w, b) = t.train(generations=2, episode_len=10)
     assert best.shape == (12,)
     assert np.isfinite(best_r)
+
+
+def test_shipped_etg_seeds_survive_openloop():
+    """Every shipped per-task seed npz must load and keep the robot
+    alive open-loop at nominal dynamics on its own terrain (the health
+    gate scripts_dev/gen_seeds.py enforces at generation time)."""
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+    from paddlerobotics_tpu.etg import fit as etg_fit
+    from paddlerobotics_tpu.etg import seeds as etg_seeds
+
+    tasks = etg_seeds.available()
+    assert tasks, "seed library is empty — regenerate via scripts_dev/gen_seeds.py"
+    B, steps = 4, 150
+    for mode in tasks:
+        param = etg_seeds.load_seed_param(mode)
+        assert param is not None and param.shape == (12,)
+        cfg = QuadrupedConfig(task=TaskConfig(task_mode=mode))
+        w0, b0 = etg_fit.opt_with_points(cfg.etg)
+        w, b = etg_fit.opt_with_points(
+            cfg.etg, points=etg_fit.prior_points(cfg.etg) + param.reshape(6, 2),
+            w0=w0, b0=b0)
+        env = BatchedQuadrupedEnv(cfg, num_envs=B)
+        st, _ = jax.jit(env.reset)(
+            jax.random.key(0),
+            etg_w=jnp.broadcast_to(jnp.asarray(w)[..., None], w.shape + (B,)),
+            etg_b=jnp.broadcast_to(jnp.asarray(b)[..., None], (3, B)))
+
+        def body(c, _):
+            st, alive = c
+            ns, _, _, done, _ = env.step(st, jnp.zeros((B, 12)),
+                                         autoreset=False)
+            return (ns, alive * (1.0 - done.astype(jnp.float32))), None
+
+        (_, alive), _ = jax.jit(lambda c: jax.lax.scan(
+            body, c, None, length=steps))((st, jnp.ones(B)))
+        assert float(jnp.mean(alive)) == 1.0, f"{mode} seed falls open-loop"
 
 
 def test_dynamics_id_smoke():
