@@ -31,7 +31,7 @@ ARMS = [("base", dict()),
 SCHEDS = [("B1024_K16", 1024, 16), ("B256_K64", 256, 64)]
 
 
-def run(tag, B, K, arm, arm_kw, seed=0):
+def run(tag, B, K, arm, arm_kw, seed=0, etg_seed=False):
     cfg = QuadrupedConfig(
         sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
         sac=SACConfig(warmup_steps=200_000, **arm_kw),
@@ -39,13 +39,21 @@ def run(tag, B, K, arm, arm_kw, seed=0):
         task=TaskConfig(task_mode="stairstair"),
         train=TrainConfig(num_envs=B, eval_every_steps=10 ** 12),
     )
-    outdir = f"/tmp/stab_sweep/{tag}_{arm}_s{seed}"
+    outdir = f"/tmp/stab_sweep/{tag}_{arm}_s{seed}" + \
+        ("_etgseed" if etg_seed else "")
     os.makedirs(outdir, exist_ok=True)
     tr = ETGRLTrainer(cfg, num_envs=B, outdir=outdir,
                       updates_per_step=K)
+    init_etg = None
+    if etg_seed:
+        import jax.numpy as jnp
+
+        from paddlerobotics_tpu.etg import seeds as etg_seeds
+        p = etg_seeds.load_seed_param("stairstair")
+        init_etg = None if p is None else jnp.asarray(p)
     t0 = time.time()
     tr.train(max_steps=BUDGET, chunk_steps=50, seed=seed,
-             checkpoint=False)
+             checkpoint=False, init_etg_param=init_etg)
     wall = time.time() - t0
     velx = []
     for line in open(f"{outdir}/metrics.jsonl"):
@@ -68,15 +76,17 @@ def main():
 
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     only = sys.argv[2] if len(sys.argv) > 2 else None
+    etg_seed = "etgseed" in sys.argv[3:]
     os.makedirs("/tmp/stab_sweep", exist_ok=True)
-    summary = f"/tmp/stab_sweep/summary_s{seed}.json"
+    summary = f"/tmp/stab_sweep/summary_s{seed}" + \
+        ("_etgseed" if etg_seed else "") + ".json"
     results = []
     for tag, B, K in SCHEDS:
         if only and tag != only:
             continue
         for arm, kw in ARMS:
             try:
-                r = run(tag, B, K, arm, kw, seed=seed)
+                r = run(tag, B, K, arm, kw, seed=seed, etg_seed=etg_seed)
             except Exception:
                 traceback.print_exc()
                 r = {"sched": tag, "arm": arm,
