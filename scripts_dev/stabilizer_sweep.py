@@ -77,6 +77,10 @@ def main():
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     only = sys.argv[2] if len(sys.argv) > 2 else None
     etg_seed = "etgseed" in sys.argv[3:]
+    arm_filter = None
+    for a in sys.argv[3:]:
+        if a.startswith("arms="):
+            arm_filter = a[5:].split(",")
     os.makedirs("/tmp/stab_sweep", exist_ok=True)
     summary = f"/tmp/stab_sweep/summary_s{seed}" + \
         ("_etgseed" if etg_seed else "") + ".json"
@@ -85,6 +89,8 @@ def main():
         if only and tag != only:
             continue
         for arm, kw in ARMS:
+            if arm_filter and arm not in arm_filter:
+                continue
             try:
                 r = run(tag, B, K, arm, kw, seed=seed, etg_seed=etg_seed)
             except Exception:
