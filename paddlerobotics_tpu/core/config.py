@@ -193,6 +193,14 @@ class SimConfig:
     # buffer holds `latency_buffer_len` past substep snapshots.
     control_latency: float = 0.002
     latency_buffer_len: int = 32   # covers the 0–80 ms randomization range
+    # How many newest ring slots the policy-obs latency blend may reach.
+    # 0 = auto: the full ring when `random.random_dynamics` randomizes
+    # control_latency (0-80 ms, train.py:116), else 2 (the 2 ms nominal
+    # needs one blend pair — 16× less HBM read per observation build).
+    # Drivers that INJECT dynamics with larger latencies into
+    # `env.reset(dyn=...)` while random_dynamics is off (dynamics ID,
+    # feasibility probes) must set this to latency_buffer_len.
+    obs_latency_taps: int = 0
     # Sensor latency applied to the PD loop's (q, q̇) input — the
     # reference's `pd_latency` (minitaur.py:100, default 0.0). A1 never
     # overrides it (a1.py:225-273 passes no pd_latency), so the reference

@@ -82,6 +82,19 @@ class BatchedQuadrupedEnv:
         self.cfg = config
         self.B = num_envs
         self.h_fn = terrain.height_fn(config.task)
+        # Policy-obs latency blend reach (SimConfig.obs_latency_taps):
+        # full ring under DR (control_latency randomized 0-80 ms), else
+        # just enough taps to cover the static nominal latency (2 at the
+        # 2 ms default).
+        t = config.sim.obs_latency_taps
+        if t == 0:
+            if config.random.random_dynamics:
+                t = None
+            else:
+                import math
+                t = max(2, 1 + math.ceil(
+                    config.sim.control_latency / config.sim.substep_dt))
+        self._obs_taps = t
         w0, b0 = etg_fit.opt_with_points(config.etg)
         self._w0 = np.asarray(w0, np.float32)
         self._b0 = np.asarray(b0, np.float32)
@@ -244,7 +257,8 @@ class BatchedQuadrupedEnv:
         # resolution ring (_GetControlObservation:1202-1205;
         # GetBaseRollPitchYaw:623-638, GetMotorAngles:753-763).
         q_obs, qd_obs, quat_obs, drpy = sbatch.delayed_obs(
-            rb, state.dyn.control_latency, self.cfg.sim.substep_dt)
+            rb, state.dyn.control_latency, self.cfg.sim.substep_dt,
+            taps=self._obs_taps)
         # rpy from the delayed quaternion (spawn rpy = 0); renormalize the
         # linear blend as pybullet's getEulerFromQuaternion does.
         inv_n = jax.lax.rsqrt(jnp.sum(quat_obs * quat_obs, axis=0) + 1e-12)

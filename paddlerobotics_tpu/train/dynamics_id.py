@@ -12,6 +12,7 @@ the whole population — no RPC, no futures.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -48,6 +49,11 @@ class DynamicsIdentifier:
         self.cfg = config
         self.P = popsize
         self.B = popsize
+        # candidate dynamics (injected via reset(dyn=...)) carry the full
+        # 0-80 ms latency range regardless of cfg.random — keep the
+        # policy-obs blend able to reach the whole ring
+        config = dataclasses.replace(config, sim=dataclasses.replace(
+            config.sim, obs_latency_taps=config.sim.latency_buffer_len))
         self.env = BatchedQuadrupedEnv(config, self.B)
         self.gait = jnp.asarray(gait_actions)
         self.real_q = jnp.asarray(real_q)

@@ -52,6 +52,10 @@ def main():
     cfg = QuadrupedConfig()
     cfg = dataclasses.replace(
         cfg, task=dataclasses.replace(cfg.task, task_mode=TASK))
+    # injected full-range draws carry 0-80 ms latency; cfg.random is off
+    # so force the obs blend to reach the whole ring
+    cfg = dataclasses.replace(cfg, sim=dataclasses.replace(
+        cfg.sim, obs_latency_taps=cfg.sim.latency_buffer_len))
     env = BatchedQuadrupedEnv(cfg, num_envs=B)
 
     key = jax.random.key(7)

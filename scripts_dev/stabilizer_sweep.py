@@ -27,7 +27,9 @@ ES_OFF = 10 ** 12
 
 ARMS = [("base", dict()),
         ("ln", dict(ln_critic=True)),
-        ("reset", dict(critic_reset_steps=5_000_000))]
+        ("reset", dict(critic_reset_steps=5_000_000)),
+        ("lnreset", dict(ln_critic=True,
+                         critic_reset_steps=5_000_000))]
 SCHEDS = [("B1024_K16", 1024, 16), ("B256_K64", 256, 64)]
 
 

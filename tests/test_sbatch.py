@@ -126,6 +126,32 @@ def test_delayed_obs_weights():
                                atol=1e-5)
 
 
+def test_delayed_obs_tapped_matches_full():
+    """The tapped fast path equals the full-ring blend for any latency
+    within its reach, at ANY rolling-head position (incl. wrap)."""
+    B = 4
+    L = sbatch.SUB_HIST_LEN
+    rb = sbatch.init_robot(B, height=0.3)
+    hist = jax.random.normal(jax.random.key(0), (L, sbatch.OBS_ROW, B))
+    sdt = 0.0026
+    latency = jnp.asarray([0.0, 0.002, 0.5 * sdt, 2.9 * sdt])
+    for head in (0, 3, L - 1):
+        r = rb.replace(obs_hist=hist,
+                       hist_head=jnp.asarray(head, jnp.int32))
+        full = sbatch.delayed_obs(r, latency, sdt)
+        for taps in (4, 6):
+            fast = sbatch.delayed_obs(r, latency, sdt, taps=taps)
+            for a, b in zip(fast, full):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5)
+    # out-of-reach latency clips to the tap horizon (documented)
+    r = rb.replace(obs_hist=hist, hist_head=jnp.asarray(5, jnp.int32))
+    fast = sbatch.delayed_obs(r, jnp.full((B,), 10 * sdt), sdt, taps=2)
+    lim = sbatch.delayed_obs(r, jnp.full((B,), 0.999 * sdt), sdt)
+    np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(lim[0]),
+                               atol=1e-5)
+
+
 def test_substep_ring_timeline(flat):
     """After a control step the ring holds the n substep states newest-
     first, continuing into the previous step's snapshots."""
