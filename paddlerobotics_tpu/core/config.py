@@ -261,6 +261,12 @@ class ETGConfig:
     # stiction holds it), while +4 cm climbs stairs under the default
     # reward weights (docs/reward_calibration.md).
     step_y: float = 0.09
+    # Leg phase pairing of the 2-phase oscillator: 'trot' pairs
+    # diagonal legs (the reference gait, train.py's ETG), 'bound' pairs
+    # front/rear legs (the 2-phase member of the gallop family — what
+    # task_mode='gallop' trains), 'auto' resolves to bound for the
+    # gallop task and trot otherwise (etg/model.resolve_pairing).
+    pairing: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,6 +95,11 @@ class BatchedQuadrupedEnv:
                 t = max(2, 1 + math.ceil(
                     config.sim.control_latency / config.sim.substep_dt))
         self._obs_taps = t
+        # pairing='auto' -> bound for the gallop task, trot otherwise
+        self._etg_cfg = etg_model.resolve_pairing(config.etg,
+                                                  config.task.task_mode)
+        self._leg_group = etg_model.leg_phase_group(
+            self._etg_cfg.pairing).astype(np.int32)
         w0, b0 = etg_fit.opt_with_points(config.etg)
         self._w0 = np.asarray(w0, np.float32)
         self._b0 = np.asarray(b0, np.float32)
@@ -177,7 +182,7 @@ class BatchedQuadrupedEnv:
         # readout: delta[x] = Σ_h w[x,h]·V[h] + b[x]
         d_a = jnp.einsum("xhb,hb->xb", etg_w, v_a) + etg_b   # (3,B)
         d_b = jnp.einsum("xhb,hb->xb", etg_w, v_b) + etg_b
-        group = jnp.asarray(etg_model.LEG_PHASE_GROUP)       # (4,)
+        group = jnp.asarray(self._leg_group)                 # (4,)
         sel = (group[:, None] == 0)
         dx = jnp.where(sel, d_a[0][None, :], d_b[0][None, :]) + \
             jnp.asarray(self._stx)[:, None]                     # (4,B)

@@ -66,6 +66,9 @@ class QuadrupedEnv:
     def __init__(self, config: QuadrupedConfig):
         self.cfg = config
         self.h_fn = terrain.height_fn(config.task)
+        # pairing='auto' -> bound for the gallop task, trot otherwise
+        self._etg_cfg = etg_model.resolve_pairing(config.etg,
+                                                  config.task.task_mode)
         w0, b0 = etg_fit.opt_with_points(config.etg)
         self._w0 = np.asarray(w0)
         self._b0 = np.asarray(b0)
@@ -116,9 +119,10 @@ class QuadrupedEnv:
     def _etg_residual(self, etg_w, etg_b, step_idx):
         v_a = jnp.asarray(self._va)[step_idx % MAX_EPISODE_STEPS]
         v_b = jnp.asarray(self._vb)[step_idx % MAX_EPISODE_STEPS]
-        act = etg_model.etg_joint_residual(etg_w, etg_b, v_a, v_b, self.cfg.etg)
+        act = etg_model.etg_joint_residual(etg_w, etg_b, v_a, v_b,
+                                           self._etg_cfg)
         # gait phase mask from the readout z-delta of each leg
-        d = etg_model.foot_deltas(etg_w, etg_b, v_a, v_b, self.cfg.etg)
+        d = etg_model.foot_deltas(etg_w, etg_b, v_a, v_b, self._etg_cfg)
         swing = d[:, 2] > 0.02
         stance = d[:, 2] <= 0.005
         return act, swing, stance, v_a

@@ -27,6 +27,32 @@ from paddlerobotics_tpu.sim import a1_model as a1
 
 # Diagonal trot pairing: FR(0) & RL(3) in phase, FL(1) & RR(2) half-period.
 LEG_PHASE_GROUP = np.array([0, 1, 1, 0])
+# Available pairings of the 2-phase cycle (leg order FR FL RR RL):
+# trot mirrors diagonals; bound mirrors front vs rear pairs — the
+# 2-phase gallop-family gait the `gallop` task mode trains.
+PAIRINGS = {"trot": LEG_PHASE_GROUP, "bound": np.array([0, 0, 1, 1])}
+
+
+def leg_phase_group(pairing: str) -> np.ndarray:
+    """(4,) phase-group indices for a pairing name ('auto' = trot)."""
+    if pairing == "auto":
+        pairing = "trot"
+    try:
+        return PAIRINGS[pairing]
+    except KeyError:
+        raise ValueError(f"unknown ETG pairing {pairing!r}; choose from "
+                         f"{('auto', *PAIRINGS)}") from None
+
+
+def resolve_pairing(etg_cfg: ETGConfig, task_mode: str) -> ETGConfig:
+    """Resolve pairing='auto' against the task: the gallop flat task
+    trains the bound gait, every other task the reference trot."""
+    if etg_cfg.pairing != "auto":
+        leg_phase_group(etg_cfg.pairing)   # validate eagerly
+        return etg_cfg
+    import dataclasses
+    return dataclasses.replace(
+        etg_cfg, pairing="bound" if task_mode == "gallop" else "trot")
 # Lateral offset sign: right legs (FR, RR) outward is −y, left legs +y.
 LATERAL_SIGN = np.array([-1.0, 1.0, -1.0, 1.0])
 
@@ -80,7 +106,7 @@ def foot_deltas(w: jnp.ndarray, b: jnp.ndarray,
     features V(t) and V(t+T/2)."""
     d_a = w @ v_a + b          # (3,) for phase group 0
     d_b = w @ v_b + b          # (3,) for phase group 1
-    group = jnp.asarray(LEG_PHASE_GROUP)
+    group = jnp.asarray(leg_phase_group(cfg.pairing))
     d = jnp.where(group[:, None] == 0, d_a[None, :], d_b[None, :])
     lateral = jnp.asarray(STANCE_OFFSET_Y) + \
         (cfg.step_y - REFERENCE_STEP_Y) * jnp.asarray(LATERAL_SIGN)

@@ -80,3 +80,29 @@ def test_optional_sensors():
     # footpose block: feet below the base in base frame (z < 0)
     foot_z = np.asarray(obs[0, 49 + 20:49 + 20 + 12]).reshape(4, 3)[:, 2]
     assert np.all(foot_z < 0)
+
+
+def test_gallop_task_uses_bound_pairing():
+    """task_mode='gallop' resolves pairing=bound in BOTH env paths and
+    the SoA ETG residual still matches the per-env one exactly."""
+    import dataclasses
+    from paddlerobotics_tpu.core.config import TaskConfig
+
+    cfg = QuadrupedConfig(task=TaskConfig(task_mode="gallop"))
+    benv = BatchedQuadrupedEnv(cfg, num_envs=2)
+    env = make_env("Quadrupedal", task="gallop")
+    assert benv._etg_cfg.pairing == "bound"
+    assert env._etg_cfg.pairing == "bound"
+    bstate, _ = benv.reset(jax.random.key(0))
+    etg_b, _, _, _ = benv._etg_residual(bstate.etg_w, bstate.etg_b,
+                                        jnp.asarray([7, 7]))
+    pstate, _ = env.reset(jax.random.key(0))
+    etg_p, _, _, _ = env._etg_residual(pstate.etg_w, pstate.etg_b,
+                                       jnp.asarray(7))
+    np.testing.assert_allclose(np.asarray(etg_b[:, 0]), np.asarray(etg_p),
+                               atol=1e-4)
+    # and it differs from the trot residual of the same weights
+    genv = BatchedQuadrupedEnv(QuadrupedConfig(), num_envs=2)
+    etg_g, _, _, _ = genv._etg_residual(bstate.etg_w, bstate.etg_b,
+                                        jnp.asarray([7, 7]))
+    assert float(jnp.abs(etg_b - etg_g).max()) > 1e-3

@@ -153,3 +153,44 @@ def test_asymmetric_t2_period():
     pts = etg_fit.prior_points(cfg2)
     np.testing.assert_allclose(np.asarray(A @ w[2] + b[2]), pts[:, 1],
                                atol=5e-3)
+
+
+def test_pairing_resolution():
+    """'auto' resolves per task: bound only for gallop; explicit names
+    validate eagerly (envs construct with the resolved config)."""
+    import dataclasses
+    base = ETGConfig()
+    assert base.pairing == "auto"
+    assert etg_model.resolve_pairing(base, "gallop").pairing == "bound"
+    assert etg_model.resolve_pairing(base, "ground").pairing == "trot"
+    assert etg_model.resolve_pairing(base, "stairstair").pairing == "trot"
+    forced = dataclasses.replace(base, pairing="trot")
+    assert etg_model.resolve_pairing(forced, "gallop").pairing == "trot"
+    with pytest.raises(ValueError, match="unknown ETG pairing"):
+        etg_model.resolve_pairing(
+            dataclasses.replace(base, pairing="pace"), "ground")
+    np.testing.assert_array_equal(etg_model.leg_phase_group("trot"),
+                                  [0, 1, 1, 0])
+    np.testing.assert_array_equal(etg_model.leg_phase_group("bound"),
+                                  [0, 0, 1, 1])
+
+
+def test_bound_pairing_foot_deltas(cfg):
+    """Bound pairing: front legs (FR,FL) share the phase-0 readout and
+    rear legs (RR,RL) the half-period one, instead of diagonals."""
+    import dataclasses
+    w, b = etg_fit.opt_with_points(cfg)
+    v_a = oscillator.update(jnp.asarray(0.07), cfg)
+    v_b = oscillator.update(jnp.asarray(0.07 + cfg.T / 2), cfg)
+    trot = dataclasses.replace(cfg, pairing="trot")
+    bound = dataclasses.replace(cfg, pairing="bound")
+    d_t = np.asarray(etg_model.foot_deltas(w, b, v_a, v_b, trot))
+    d_b = np.asarray(etg_model.foot_deltas(w, b, v_a, v_b, bound))
+    # phase-group-0 legs identical across pairings: FR in both
+    np.testing.assert_allclose(d_b[0], d_t[0], atol=1e-6)
+    # bound: FL joins FR's phase (z-delta equal), RL joins RR
+    np.testing.assert_allclose(d_b[1, 2], d_b[0, 2], atol=1e-6)
+    np.testing.assert_allclose(d_b[3, 2], d_b[2, 2], atol=1e-6)
+    # trot pairs diagonals instead (FR==RL), and the two phases differ
+    np.testing.assert_allclose(d_t[3, 2], d_t[0, 2], atol=1e-6)
+    assert abs(d_t[1, 2] - d_t[0, 2]) > 1e-4
