@@ -142,6 +142,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--critic_reset_steps", type=int, default=0,
                    help="re-initialize critic+target+opt every N env "
                         "steps (primacy-bias reset; 0 = never)")
+    p.add_argument("--warmup_gait_frac", type=float, default=0.5,
+                   help="fraction of envs rolling the open-loop ETG "
+                        "gait (small-noise residual) instead of uniform "
+                        "random during warmup, so early replay contains "
+                        "walking transitions (0 = all-random warmup)")
     return p
 
 
@@ -155,7 +160,9 @@ def config_from_args(args) -> QuadrupedConfig:
         sac=SACConfig(warmup_steps=args.warmup_steps,
                       ln_critic=bool(getattr(args, "ln_critic", 0)),
                       critic_reset_steps=getattr(args, "critic_reset_steps",
-                                                 0)),
+                                                 0),
+                      warmup_gait_frac=getattr(args, "warmup_gait_frac",
+                                               0.5)),
         sensors=SensorConfig(
             dis=bool(args.sensor_dis), motor=args.sensor_motor,
             imu=args.sensor_imu, contact=bool(args.sensor_contact),

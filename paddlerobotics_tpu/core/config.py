@@ -316,6 +316,18 @@ class SACConfig:
     critic_reset_steps: int = 0        # full critic+target+opt re-init
                                        # every N env steps (primacy-bias
                                        # reset; 0 = never)
+    # Fraction of envs that roll the open-loop ETG gait (zero residual
+    # + small noise) instead of uniform-random residuals during the
+    # pre-warmup phase. The reference warms up with only 1e4 SINGLE-env
+    # random steps (train.py:163), so its replay is on-gait almost
+    # immediately; a large batched warmup of pure random residuals
+    # instead fills replay with flailing/falls, and on terrain where
+    # falls come fast the critic locks onto the standing optimum
+    # (docs/reward_calibration.md round-3 note: rng-seed cold-start
+    # collapse). Mixing in on-gait rollouts guarantees walking
+    # transitions in early replay wherever the (seeded) gait walks.
+    warmup_gait_frac: float = 0.5
+    warmup_gait_sigma: float = 0.05    # residual noise on the gait envs
 
 
 @dataclasses.dataclass(frozen=True)

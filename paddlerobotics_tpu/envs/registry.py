@@ -25,6 +25,13 @@ TASK_PRESETS: dict = {
                      warmup_steps=200_000, ln_critic=True),
     "slopeslope": dict(num_envs=1024, updates_per_step=16,
                        warmup_steps=200_000, ln_critic=True),
+    # periodic critic reset counters the 25M+ high-reuse decay at K=4
+    # (docs/reward_calibration.md round-3 takeaway (c); stabilizer
+    # verdict in docs/update_schedule.md) so the deterministic eval
+    # policy keeps hardening past the 20M mark on the two tasks whose
+    # mean-action policy still falls mid-course there.
+    "stairstair": dict(critic_reset_steps=5_000_000),
+    "balance_beam": dict(critic_reset_steps=5_000_000),
 }
 
 

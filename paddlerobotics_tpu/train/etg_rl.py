@@ -244,9 +244,21 @@ class ETGRLTrainer:
                     action, _ = sac.sample(c.sac_state.actor_params, c.obs,
                                            k_act)
                 else:
+                    k_act, k_gait = jax.random.split(k_act)
                     action = jax.random.uniform(
                         k_act, (self.B, self.env.action_dim), minval=-1.0,
                         maxval=1.0)
+                    n_gait = int(cfg.sac.warmup_gait_frac * self.B)
+                    if n_gait > 0:
+                        # first n_gait envs roll the open-loop gait
+                        # (near-zero residual) so replay sees walking
+                        # transitions from step one — see SACConfig
+                        on_gait = jnp.clip(
+                            cfg.sac.warmup_gait_sigma * jax.random.normal(
+                                k_gait, (self.B, self.env.action_dim)),
+                            -1.0, 1.0)
+                        mask = (jnp.arange(self.B) < n_gait)[:, None]
+                        action = jnp.where(mask, on_gait, action)
                 es_ = getattr(c.env_state, "env_state", c.env_state)
                 donef = (es_.step_idx + 1) > e_step
                 nstate, nobs, rew, done, info = env.step(

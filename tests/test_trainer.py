@@ -192,3 +192,22 @@ def test_adaptive_dr_in_trainer(tiny_cfg, tmp_path):
     assert scales[0] == pytest.approx(0.30)   # start + one step
     assert all(b >= a for a, b in zip(scales, scales[1:]))
     assert scales[-1] > scales[0]
+
+
+def test_warmup_gait_mix(tiny_cfg, tmp_path):
+    """During the cold (pre-warmup) phase, warmup_gait_frac of the envs
+    roll the near-zero on-gait residual (small noise) while the rest
+    explore uniformly — so early replay contains walking transitions
+    (SACConfig.warmup_gait_frac rationale)."""
+    cfg = dataclasses.replace(
+        tiny_cfg, sac=dataclasses.replace(tiny_cfg.sac, warmup_steps=10_000,
+                                          warmup_gait_frac=0.5))
+    trainer = ETGRLTrainer(cfg, num_envs=8, outdir=str(tmp_path))
+    carry, _ = trainer.train(max_steps=160, chunk_steps=10,
+                             checkpoint=False)
+    n = int(carry.buffer.size)
+    act = np.asarray(carry.buffer.act[:n]).reshape(-1, 8,
+                                                   trainer.env.action_dim)
+    gait, rand = act[:, :4], act[:, 4:]
+    assert np.abs(gait).max() < 0.3, np.abs(gait).max()
+    assert np.abs(rand).mean() > 0.3, np.abs(rand).mean()
