@@ -50,7 +50,7 @@ cfg = QuadrupedConfig(
                       e_step=400, eval_episode_len=400),
 )
 
-outdir = f"/tmp/stairs_bisect/{ARM}"
+outdir = f"/tmp/stairs_bisect/{ARM}_s{SEED}_{BUDGET // 10**6}M"
 os.makedirs(outdir, exist_ok=True)
 tr = ETGRLTrainer(cfg, num_envs=B, outdir=outdir, updates_per_step=16)
 p = etg_seeds.load_seed_param("stairstair")

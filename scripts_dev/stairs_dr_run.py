@@ -54,8 +54,8 @@ cfg = QuadrupedConfig(
                       e_step=400, eval_episode_len=400),
 )
 
-tr = ETGRLTrainer(cfg, num_envs=B, outdir="/tmp/dr_study/stairs_dr",
-                  updates_per_step=16)
+OUT = f"/tmp/dr_study/stairs_dr_s{SEED}_{BUDGET // 10**6}M"
+tr = ETGRLTrainer(cfg, num_envs=B, outdir=OUT, updates_per_step=16)
 p = etg_seeds.load_seed_param("stairstair")
 t0 = time.time()
 tr.train(max_steps=BUDGET, chunk_steps=50, seed=SEED, checkpoint=False,
@@ -63,7 +63,7 @@ tr.train(max_steps=BUDGET, chunk_steps=50, seed=SEED, checkpoint=False,
 wall = time.time() - t0
 
 velx, succ, scale = [], [], []
-for line in open("/tmp/dr_study/stairs_dr/metrics.jsonl"):
+for line in open(f"{OUT}/metrics.jsonl"):
     d = json.loads(line)
     if d["tag"] == "train/mean_velx":
         velx.append((d["step"], d["value"]))
@@ -78,4 +78,5 @@ print(json.dumps({
     "final_success": tail(succ),
     "final_dr_scale": tail(scale),
     "max_dr_scale": round(max(scale), 3) if scale else 0.0,
+    "succ_trace": [round(s, 3) for s in succ[:: max(len(succ) // 20, 1)]],
 }), flush=True)
