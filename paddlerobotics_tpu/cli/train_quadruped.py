@@ -209,8 +209,38 @@ def config_from_args(args) -> QuadrupedConfig:
     )
 
 
+def apply_task_preset(parser, argv):
+    """Make the registered per-task recipe the DEFAULT for its flags.
+
+    The reference ships well-trained artifacts per task (README.md:77);
+    here `envs/registry.TASK_PRESETS` carries the schedule that
+    reproduces each task from scratch (docs/task_matrix.md). Flags the
+    user passes explicitly always win — the preset only replaces the
+    parser defaults.
+    """
+    import sys
+
+    from paddlerobotics_tpu.envs.registry import TASK_PRESETS
+
+    av = list(sys.argv[1:] if argv is None else argv)
+    mode = parser.get_default("task_mode")
+    for i, a in enumerate(av):
+        if a == "--task_mode" and i + 1 < len(av):
+            mode = av[i + 1]
+        elif a.startswith("--task_mode="):
+            mode = a.split("=", 1)[1]
+    preset = TASK_PRESETS.get(mode, {})
+    if preset:
+        parser.set_defaults(**{k: (int(v) if isinstance(v, bool) else v)
+                               for k, v in preset.items()})
+        print(f"task preset [{mode}]: {preset} (explicit flags override)")
+    return preset
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    apply_task_preset(parser, argv)
+    args = parser.parse_args(argv)
     if args.ES_every < 1:
         raise SystemExit("--ES_every must be >= 1 (it divides the step "
                          "counter; use --ES 0 to disable ES)")

@@ -31,7 +31,10 @@ TASK_PRESETS: dict = {
     # policy keeps hardening past the 20M mark on the two tasks whose
     # mean-action policy still falls mid-course there.
     "stairstair": dict(critic_reset_steps=5_000_000),
-    "balance_beam": dict(critic_reset_steps=5_000_000),
+    # the reference's own balance-beam workflow narrows the stance with
+    # step_y (README.md:65 "for balance beam task") so the feet track
+    # the plank centerline; 0.05 is the golden-trace stance
+    "balance_beam": dict(critic_reset_steps=5_000_000, step_y=0.05),
 }
 
 

@@ -28,10 +28,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from paddlerobotics_tpu.envs.registry import TASK_PRESETS
+
     for mode in TASKS:
+        preset = TASK_PRESETS.get(mode, {})
         cfg = QuadrupedConfig(
             sim=dataclasses.replace(QuadrupedConfig().sim,
                                     use_pallas=True),
+            etg=dataclasses.replace(
+                QuadrupedConfig().etg,
+                step_y=preset.get("step_y",
+                                  QuadrupedConfig().etg.step_y)),
             task=TaskConfig(task_mode=mode))
         t0 = time.time()
         # B=5120 (divisible by popsize 40 AND the pallas block 1024):

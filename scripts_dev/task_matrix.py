@@ -45,6 +45,9 @@ def run(mode: str, suffix: str = "", budget: int = BUDGET):
         task_kw["beam_width"] = 0.4
     cfg = QuadrupedConfig(
         sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
+        etg=dataclasses.replace(
+            QuadrupedConfig().etg,
+            step_y=preset.get("step_y", QuadrupedConfig().etg.step_y)),
         sac=SACConfig(warmup_steps=preset.get("warmup_steps", 200_000),
                       ln_critic=preset.get("ln_critic", False),
                       critic_reset_steps=preset.get("critic_reset_steps",

@@ -176,6 +176,29 @@ def test_cli_parses():
     assert cfg.task.task_mode == "ground"
 
 
+def test_cli_task_preset_defaults():
+    """TASK_PRESETS become CLI defaults; explicit flags still win."""
+    from paddlerobotics_tpu.cli.train_quadruped import (apply_task_preset,
+                                                        build_parser)
+
+    p = build_parser()
+    apply_task_preset(p, ["--task_mode", "up_slope"])
+    a = p.parse_args(["--task_mode", "up_slope"])
+    assert (a.num_envs, a.updates_per_step, a.warmup_steps,
+            a.ln_critic) == (1024, 16, 200_000, 1)
+
+    p = build_parser()
+    apply_task_preset(p, ["--task_mode=balance_beam", "--step_y", "0.07"])
+    a = p.parse_args(["--task_mode=balance_beam", "--step_y", "0.07"])
+    assert a.step_y == 0.07          # explicit flag wins
+    assert a.critic_reset_steps == 5_000_000
+
+    p = build_parser()
+    apply_task_preset(p, ["--task_mode", "ground"])
+    a = p.parse_args(["--task_mode", "ground"])
+    assert a.num_envs == 4096        # no preset → parser defaults
+
+
 def test_obs_history_wrapper():
     from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
     from paddlerobotics_tpu.envs.wrappers import ObsHistoryWrapper
