@@ -294,7 +294,10 @@ def main(argv=None):
         w, b = trainer.fit_etg(jnp.asarray(restored["etg_param"]))
         ret, steps, infos = trainer.evaluate(sac_state.actor_params, w, b,
                                              cfg.train.eval_episode_len)
-        print(f"eval reward {float(ret):.2f} steps {float(steps):.1f}")
+        steps_f = max(float(steps), 1.0)
+        print(f"eval reward {float(ret):.2f} steps {float(steps):.1f} "
+              f"velx {float(infos['velx']) / steps_f:.3f} "
+              f"success {float(infos['success']) / steps_f:.3f}")
         return
     init_param = None
     if args.ETG_path == "auto":

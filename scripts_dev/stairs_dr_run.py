@@ -2,22 +2,23 @@
 
 The combination the reference's own flags expose (train.py:460 default
 task stairstair + train.py:112-126 random_dynamic): stairstair with
-random_dynamics at full reference ranges. Round-2 attempt flatlined at
-B=4096/K=4 from the 0.2 scale floor. This run combines the three
-untried-together mitigations:
-  - sample-efficiency schedule (B=1024, K=16, warmup 2e5 —
-    docs/update_schedule.md)
-  - the shipped stairstair ETG seed (assets/etg_seeds — the gait walks
-    open-loop, so the critic sees successes from step one)
-  - success-gated adaptive curriculum (--dr_adaptive) with
-    task-relative thresholds + dynamic_vec conditioning (the
-    full-range-DR recipe validated on ground, docs/dr_study.md)
+random_dynamics. Round-2's attempt flatlined from the 0.2 scale floor;
+the round-3 bisect found two compounding root causes, both fixed in
+the tree (the curriculum annealed toward the range MIDPOINTS — ice +
+40 ms latency — instead of nominal dynamics, and the all-random
+batched warmup collapsed the critic into the standing optimum). With
+those fixed, this runs the EXACT recipe that solved full-range DR on
+ground (docs/dr_study.md adaptive2: B=4096/K=4, warmup 2e5,
+dynamic_vec, success-gated curriculum) plus the shipped stairstair ETG
+seed. ES stays OFF: an ES phase under randomized dynamics gets a
+noisy, survival-dominated fitness and walks the gait away from
+walking (measured: the B=1024/K=16+ES arm collapsed to 0 success by
+5M steps while the identical ES-off arm held 0.15).
 
 Success criterion (VERDICT): dr_scale >= 0.6 reached with success >=
 60% of the measured feasible-draw fraction at that scale
-(scripts_dev/dr_feasibility_probe.py stairstair <scale> seed).
-
-Writes /tmp/dr_study/stairs_dr/metrics.jsonl.
+(scripts_dev/dr_feasibility_probe.py: seed-gait open-loop survival is
+0.399 at scale 0.6 -> target success 0.24).
 """
 
 import dataclasses
@@ -34,28 +35,28 @@ from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
 from paddlerobotics_tpu.etg import seeds as etg_seeds
 from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
 
-B = 1024
+B = 4096
 BUDGET = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000_000
 SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
 cfg = QuadrupedConfig(
     sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
-    sac=SACConfig(warmup_steps=200_000, ln_critic=True),
+    sac=SACConfig(warmup_steps=200_000),
     es=ESConfig(es_every_steps=10 ** 15),
     sensors=SensorConfig(dynamic_vec=True),
     random=RandomConfig(random_dynamics=True, dynamics_scale=1.0,
                         dr_scale_start=0.2, dr_adaptive=True,
-                        # task-relative: stairs+seed plateau success is
-                        # ~0.55-0.9 at low scale; gate raises on >0.35,
-                        # backs off under 0.15
+                        # task-relative gate: stairs+seed no-DR train
+                        # success is ~0.89 at this schedule; raise on
+                        # >0.35, back off under 0.15
                         dr_success_lo=0.15, dr_success_hi=0.35),
     task=TaskConfig(task_mode="stairstair"),
     train=TrainConfig(num_envs=B, eval_every_steps=10 ** 12,
                       e_step=400, eval_episode_len=400),
 )
 
-OUT = f"/tmp/dr_study/stairs_dr_s{SEED}_{BUDGET // 10**6}M"
-tr = ETGRLTrainer(cfg, num_envs=B, outdir=OUT, updates_per_step=16)
+OUT = f"/tmp/dr_study/stairs_dr4k_s{SEED}_{BUDGET // 10**6}M"
+tr = ETGRLTrainer(cfg, num_envs=B, outdir=OUT, updates_per_step=4)
 p = etg_seeds.load_seed_param("stairstair")
 t0 = time.time()
 tr.train(max_steps=BUDGET, chunk_steps=50, seed=SEED, checkpoint=False,
@@ -79,4 +80,6 @@ print(json.dumps({
     "final_dr_scale": tail(scale),
     "max_dr_scale": round(max(scale), 3) if scale else 0.0,
     "succ_trace": [round(s, 3) for s in succ[:: max(len(succ) // 20, 1)]],
+    "scale_trace": [round(s, 3)
+                    for s in scale[:: max(len(scale) // 20, 1)]],
 }), flush=True)
