@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--dr_curriculum_steps")
     p.add_argument("--dr_success_lo", type=float, default=0.30)
     p.add_argument("--dr_success_hi", type=float, default=0.50)
+    p.add_argument("--dr_jitter", type=int, default=0,
+                   help="per-draw scale ~ U(0, scale) so part of the "
+                        "batch always trains near nominal dynamics "
+                        "(load-bearing for stairs+DR, docs/dr_study.md)")
     p.add_argument("--beam_width", type=float, default=0.30,
                    help="balance_beam plank width (m); pair with a "
                         "narrow --step_y (README.md:65)")
@@ -185,6 +189,7 @@ def config_from_args(args) -> QuadrupedConfig:
             dr_scale_start=args.dr_scale_start,
             dr_curriculum_steps=args.dr_curriculum_steps,
             dr_adaptive=bool(args.dr_adaptive),
+            dr_scale_jitter=bool(args.dr_jitter),
             dr_success_lo=args.dr_success_lo,
             dr_success_hi=args.dr_success_hi),
         etg=ETGConfig(T=args.ETG_T, T2=args.ETG_T2, H=args.ETG_H,

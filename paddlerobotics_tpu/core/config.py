@@ -133,6 +133,12 @@ class RandomConfig:
     # documented in docs/dr_study.md). Takes precedence over
     # dr_curriculum_steps when enabled.
     dr_adaptive: bool = False
+    # Per-draw scale jitter: each episode's draw uses scale*U(0,1)
+    # instead of the full scale, so part of the batch always trains
+    # near nominal dynamics (ADR boundary-sampling). Load-bearing on
+    # terrain where any perturbation stalls the gait (stairs —
+    # docs/dr_study.md round-3 addendum).
+    dr_scale_jitter: bool = False
     dr_success_lo: float = 0.30   # EMA success below → shrink scale
     dr_success_hi: float = 0.50   # EMA success above → grow scale
     dr_step_up: float = 0.02      # scale increment per rollout chunk

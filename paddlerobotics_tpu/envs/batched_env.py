@@ -221,7 +221,8 @@ class BatchedQuadrupedEnv:
             if self.cfg.random.random_dynamics:
                 keys = jax.random.split(rng, self.B)
                 dp = jax.vmap(lambda k: randomize.sample_dynamics(
-                    k, scale=dr_scale))(keys)
+                    k, scale=dr_scale,
+                    jitter=self.cfg.random.dr_scale_jitter))(keys)
                 dyn = BDynParams.from_leading(dp)
             else:
                 dyn = BDynParams.default(self.B)
@@ -499,7 +500,8 @@ class BatchedQuadrupedEnv:
                     jax.random.fold_in(rng, jnp.asarray(23, jnp.uint32)),
                     B)
                 dp = jax.vmap(lambda k: randomize.sample_dynamics(
-                    k, scale=state.dr_scale))(kd)
+                    k, scale=state.dr_scale,
+                    jitter=self.cfg.random.dr_scale_jitter))(kd)
                 fresh_dyn = BDynParams.from_leading(dp)._replace(
                     external_force=jnp.zeros((3, B), F32))
                 dyn_next = jax.tree.map(sel_b_last, fresh_dyn, dyn_next)

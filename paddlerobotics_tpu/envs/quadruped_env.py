@@ -140,7 +140,9 @@ class QuadrupedEnv:
             etg_w, etg_b = self.default_etg()
         if dyn is None:
             if self.cfg.random.random_dynamics:
-                dyn = randomize.sample_dynamics(k_dyn)
+                dyn = randomize.sample_dynamics(
+                    k_dyn, scale=self.cfg.random.dynamics_scale,
+                    jitter=self.cfg.random.dr_scale_jitter)
             else:
                 dyn = DynamicsParams.default()
 

@@ -54,7 +54,8 @@ def param2dynamic(params: jnp.ndarray) -> DynamicsParams:
 
 
 def sample_dynamics(rng: jax.Array, enable: bool = True,
-                    scale: float = 1.0) -> DynamicsParams:
+                    scale: float = 1.0,
+                    jitter: bool = False) -> DynamicsParams:
     """Sample randomized dynamics (Random_Param_Dict['random_dynamics']).
 
     `scale` is the curriculum knob: the PHYSICAL interpolation between
@@ -72,6 +73,15 @@ def sample_dynamics(rng: jax.Array, enable: bool = True,
     round-2 full-range results are unaffected."""
     if not enable:
         return DynamicsParams.default()
+    if jitter:
+        # Per-draw scale ~ U(0, scale) (ADR boundary-sampling style):
+        # at any curriculum stage a fraction of envs stays near-nominal,
+        # so the replay never loses walking transitions. On stairs this
+        # is load-bearing: even scale 0.2 moves the open-loop gait from
+        # walking to stalled in 99% of draws (survive 0.835 / walk
+        # 0.007, scripts_dev/dr_feasibility_probe.py stairstair 0.2).
+        rng, ks = jax.random.split(rng)
+        scale = scale * jax.random.uniform(ks, ())
     p = jax.random.uniform(rng, (NUM_DYNAMIC_PARAMS,), minval=-1.0,
                            maxval=1.0)
     drawn = param2dynamic(p)

@@ -46,6 +46,12 @@ cfg = QuadrupedConfig(
     sensors=SensorConfig(dynamic_vec=True),
     random=RandomConfig(random_dynamics=True, dynamics_scale=1.0,
                         dr_scale_start=0.2, dr_adaptive=True,
+                        # per-draw scale ~ U(0, scale): even mild fixed
+                        # scale stalls the gait in 99% of draws on
+                        # stairs (feasibility probe @0.2: survive 0.835
+                        # / walk 0.007) and success plateaus at 0.16;
+                        # jitter keeps near-nominal walkers in batch
+                        dr_scale_jitter=True,
                         # task-relative gate: stairs+seed no-DR train
                         # success is ~0.89 at this schedule; raise on
                         # >0.35, back off under 0.15

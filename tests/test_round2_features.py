@@ -327,3 +327,25 @@ def test_dr_scale_interpolates_from_nominal():
     np.testing.assert_allclose(
         f_mid, 0.5 * (float(dn.foot_friction) +
                       float(dref.foot_friction)), rtol=1e-5)
+
+
+def test_dr_scale_jitter_draws_span_to_nominal():
+    """dr_scale_jitter: per-draw scale ~ U(0, scale) — a batch of draws
+    must span from near-nominal to the full scale, and its mean
+    deviation from nominal must be about half the no-jitter mean."""
+    from paddlerobotics_tpu.sim.dynamics import DynamicsParams
+
+    dn = DynamicsParams.default()
+    keys = jax.random.split(jax.random.key(7), 512)
+    dj = jax.vmap(lambda k: randomize.sample_dynamics(
+        k, scale=1.0, jitter=True))(keys)
+    df = jax.vmap(lambda k: randomize.sample_dynamics(
+        k, scale=1.0, jitter=False))(keys)
+    dev_j = np.abs(np.asarray(dj.foot_friction) -
+                   float(dn.foot_friction))
+    dev_f = np.abs(np.asarray(df.foot_friction) -
+                   float(dn.foot_friction))
+    # some draws are near nominal under jitter
+    assert dev_j.min() < 0.05 * dev_f.mean()
+    # mean deviation roughly halves (U(0,1) has mean 1/2)
+    assert 0.35 < dev_j.mean() / dev_f.mean() < 0.65
