@@ -351,6 +351,15 @@ class ESConfig:
     es_train_steps: int = 10
     es_episode_len: int = 400
     es_rpm: bool = True         # feed ES rollouts into the SAC replay buffer
+    # Evaluate ES fitness at NOMINAL dynamics even when the SAC loop
+    # trains under domain randomization. Documented deviation from the
+    # reference (its ES episodes inherit whatever env randomization is
+    # active): measured on stairstair+DR, population fitness under
+    # random draws is survival-noise-dominated and walks the gait
+    # prior away from walking (success → 0.00 by 5M steps); the gait
+    # prior is a nominal open-loop prior — the policy, conditioned on
+    # dynamic_vec, owns the randomization (docs/dr_study.md addendum 2).
+    es_nominal_dyn: bool = True
     num_params: int = 12
     # Envs for ES population rollouts. The reference evaluates each
     # candidate with ONE serial 400-step episode (run_EStrain_episode,

@@ -320,7 +320,13 @@ class ETGRLTrainer:
         cand = jnp.repeat(jnp.arange(P), B // P, total_repeat_length=B)
         w_env = jnp.moveaxis(etg_w_pop[cand], 0, -1)   # (3,H,B)
         b_env = jnp.moveaxis(etg_b_pop[cand], 0, -1)   # (3,B)
-        state, obs = self.es_env.reset(rng, etg_w=w_env, etg_b=b_env)
+        # dr_scale=0 == exactly nominal dynamics (the round-3 curriculum
+        # semantics) — see ESConfig.es_nominal_dyn for why ES fitness
+        # must not be evaluated under random draws
+        dr0 = (0.0 if (self.cfg.es.es_nominal_dyn
+                       and self.cfg.random.random_dynamics) else None)
+        state, obs = self.es_env.reset(rng, etg_w=w_env, etg_b=b_env,
+                                       dr_scale=dr0)
         sub = jnp.arange(P) * (B // P)                 # buffer sub-sample
 
         def body(c, _):
@@ -349,11 +355,16 @@ class ETGRLTrainer:
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def evaluate(self, actor_params, etg_w, etg_b, n_steps: int,
-                 rng=None):
-        """Deterministic eval (run_evaluate_episodes, train.py:182-211)."""
+                 rng=None, dr_scale=None):
+        """Deterministic eval (run_evaluate_episodes, train.py:182-211).
+
+        dr_scale: override the DR draw scale for the eval batch
+        (None = the configured scale; 0.0 = nominal dynamics — used by
+        the ES baseline when es_nominal_dyn is set)."""
         rng = jax.random.key(0) if rng is None else rng
         w_env, b_env = self._broadcast_etg(etg_w, etg_b)
-        state, obs = self.env.reset(rng, etg_w=w_env, etg_b=b_env)
+        state, obs = self.env.reset(rng, etg_w=w_env, etg_b=b_env,
+                                    dr_scale=dr_scale)
 
         def body(c, _):
             state, obs, ret, alive, steps, infos = c
@@ -564,6 +575,9 @@ class ETGRLTrainer:
 
     def _es_baseline(self, carry, w, b):
         """Current-gait baseline episode (train.py:395)."""
+        dr0 = (0.0 if (self.cfg.es.es_nominal_dyn
+                       and self.cfg.random.random_dynamics) else None)
         ret, steps, _ = self.evaluate(
-            carry.sac_state.actor_params, w, b, self.cfg.es.es_episode_len)
+            carry.sac_state.actor_params, w, b, self.cfg.es.es_episode_len,
+            dr_scale=dr0)
         return float(ret), float(steps)

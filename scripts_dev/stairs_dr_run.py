@@ -42,7 +42,11 @@ SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 cfg = QuadrupedConfig(
     sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
     sac=SACConfig(warmup_steps=200_000),
-    es=ESConfig(es_every_steps=10 ** 15),
+    # ES ON (load-bearing for stairs: the no-DR/no-ES arm plateaus at
+    # 0.2 success while ES-on reaches 0.6) — fitness evaluated at
+    # NOMINAL dynamics (ESConfig.es_nominal_dyn, default) so random
+    # draws cannot walk the gait prior away from walking
+    es=ESConfig(es_every_steps=400 * B),
     sensors=SensorConfig(dynamic_vec=True),
     random=RandomConfig(random_dynamics=True, dynamics_scale=1.0,
                         dr_scale_start=0.2, dr_adaptive=True,
