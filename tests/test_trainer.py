@@ -12,6 +12,18 @@ from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
 from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    # This module runs LAST in the suite, after hundreds of XLA:CPU
+    # compiles; with the accumulated executable cache the GRU-actor
+    # rollout compile segfaults inside backend_compile (reproduced
+    # twice at the same test, while the same module passes standalone).
+    # Dropping the in-process caches before the module compiles afresh
+    # avoids the crashed compiler state.
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def tiny_cfg():
     return QuadrupedConfig(
