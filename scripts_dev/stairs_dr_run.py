@@ -69,9 +69,49 @@ OUT = f"/tmp/dr_study/stairs_dr4k_s{SEED}_{BUDGET // 10**6}M"
 tr = ETGRLTrainer(cfg, num_envs=B, outdir=OUT, updates_per_step=4)
 p = etg_seeds.load_seed_param("stairstair")
 t0 = time.time()
-tr.train(max_steps=BUDGET, chunk_steps=50, seed=SEED, checkpoint=False,
-         init_etg_param=None if p is None else jnp.asarray(p))
+carry, (w, b, _) = tr.train(
+    max_steps=BUDGET, chunk_steps=50, seed=SEED, checkpoint=False,
+    init_etg_param=None if p is None else jnp.asarray(p))
 wall = time.time() - t0
+
+
+def eval_fixed_scale(scale):
+    """Deterministic 400-step eval at a FIXED draw scale (no jitter) —
+    train-time success under dr_scale_jitter is a U(0,scale) mixture,
+    so fixed-scale evals are the honest full-range numbers."""
+    import jax
+
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+
+    cfg_nj = dataclasses.replace(
+        cfg, random=dataclasses.replace(cfg.random, dr_scale_jitter=False))
+    env = BatchedQuadrupedEnv(cfg_nj, num_envs=B)
+    wB = jnp.broadcast_to(jnp.asarray(w)[..., None], w.shape + (B,))
+    bB = jnp.broadcast_to(jnp.asarray(b)[..., None], (3, B))
+    st, obs = jax.jit(lambda k: env.reset(
+        k, etg_w=wB, etg_b=bB, dr_scale=scale))(jax.random.key(123))
+
+    def body(c, _):
+        st, obs, alive, succ, vel = c
+        a = tr.sac.predict(carry.sac_state.actor_params, obs)
+        ns, nobs, rew, done, info = env.step(
+            st, a * tr.act_bound + tr.act_offset, autoreset=False)
+        succ = succ + jnp.mean(info["success"] * alive)
+        vel = vel + jnp.mean(info["velx"] * alive)
+        steps = jnp.mean(alive)
+        alive = alive * (1.0 - done.astype(jnp.float32))
+        return (ns, nobs, alive, succ, vel), steps
+
+    (st, obs, alive, succ, vel), steps = jax.jit(
+        lambda c: jax.lax.scan(body, c, None, length=400))(
+        (st, obs, jnp.ones(B), jnp.zeros(()), jnp.zeros(())))
+    tot = float(jnp.sum(steps))
+    return {"scale": scale, "eval_succ": round(float(succ) / tot, 3),
+            "eval_velx": round(float(vel) / tot, 3),
+            "mean_steps": round(tot, 1)}
+
+
+fixed = [eval_fixed_scale(s) for s in (0.0, 0.2, 0.6, 1.0)]
 
 velx, succ, scale = [], [], []
 for line in open(f"{OUT}/metrics.jsonl"):
@@ -92,4 +132,5 @@ print(json.dumps({
     "succ_trace": [round(s, 3) for s in succ[:: max(len(succ) // 20, 1)]],
     "scale_trace": [round(s, 3)
                     for s in scale[:: max(len(scale) // 20, 1)]],
+    "fixed_scale_eval": fixed,
 }), flush=True)
