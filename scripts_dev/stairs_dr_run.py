@@ -38,10 +38,14 @@ from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
 B = 4096
 BUDGET = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000_000
 SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+# optional 4th arg "reset": periodic critic reset against the
+# high-reuse late decay (seed-2 run peaked 0.87 @110M → 0.67 final)
+RESET = len(sys.argv) > 3 and sys.argv[3] == "reset"
 
 cfg = QuadrupedConfig(
     sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
-    sac=SACConfig(warmup_steps=200_000),
+    sac=SACConfig(warmup_steps=200_000,
+                  critic_reset_steps=40_000_000 if RESET else 0),
     # ES ON (load-bearing for stairs: the no-DR/no-ES arm plateaus at
     # 0.2 success while ES-on reaches 0.6) — fitness evaluated at
     # NOMINAL dynamics (ESConfig.es_nominal_dyn, default) so random
@@ -65,7 +69,8 @@ cfg = QuadrupedConfig(
                       e_step=400, eval_episode_len=400),
 )
 
-OUT = f"/tmp/dr_study/stairs_dr4k_s{SEED}_{BUDGET // 10**6}M"
+OUT = (f"/tmp/dr_study/stairs_dr4k_s{SEED}_{BUDGET // 10**6}M"
+       + ("_reset" if RESET else ""))
 tr = ETGRLTrainer(cfg, num_envs=B, outdir=OUT, updates_per_step=4)
 p = etg_seeds.load_seed_param("stairstair")
 t0 = time.time()
