@@ -25,9 +25,16 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--suffix", type=str, default="exp")
     p.add_argument("--save", type=int, default=1)
+    p.add_argument("--task_mode", type=str, default="ground",
+                   help="task the gait was trained for; 'gallop' "
+                        "resolves pairing='auto' to the bound gait")
     args = p.parse_args(argv)
 
+    import dataclasses
+
     cfg = QuadrupedConfig()
+    cfg = dataclasses.replace(
+        cfg, task=dataclasses.replace(cfg.task, task_mode=args.task_mode))
     if args.load:
         data = np.load(args.load)
         w, b = data["w"], data["b"]

@@ -96,15 +96,31 @@ def main(argv=None):
                     catalog.append(actions_mod.MultimodalAction(
                         *(parts + ["null"] * 4)[:4]))
 
+    # The online greeting stream and the offline eval endpoint each get
+    # their OWN service instance (the jetson deployment runs infer_v3
+    # and eval_v3 as separate processes): score_clip resets frame
+    # windows, so sharing one mutable service would let an eval RPC
+    # corrupt a concurrent greeting stream's window. Each instance is
+    # additionally lock-guarded because both gRPC servers run a
+    # multi-worker thread pool.
+    import threading
+
+    svc_cfg = ServiceConfig(num_frames=ctrl_cfg.num_frames,
+                            tokens_per_frame=ctrl_cfg.tokens_per_frame,
+                            trigger_threshold=threshold)
     svc = ProactiveGreetingService(
-        ServiceConfig(num_frames=ctrl_cfg.num_frames,
-                      tokens_per_frame=ctrl_cfg.tokens_per_frame,
-                      trigger_threshold=threshold),
-        scene, scene_params, ctrl_cfg, ctrl_params,
+        svc_cfg, scene, scene_params, ctrl_cfg, ctrl_params,
         action_catalog=catalog)
+    eval_svc = ProactiveGreetingService(
+        svc_cfg, scene, scene_params, ctrl_cfg, ctrl_params,
+        action_catalog=catalog)
+    svc_lock = threading.Lock()
+    eval_lock = threading.Lock()
 
     def process(img, lag_ms, wakeup):
-        d = svc.process_frame(img, timestamp=time.time() - lag_ms / 1e3)
+        with svc_lock:
+            d = svc.process_frame(img,
+                                  timestamp=time.time() - lag_ms / 1e3)
         if wakeup:
             d["wakeup"] = wakeup
         return d
@@ -114,13 +130,14 @@ def main(argv=None):
         through the service programs, report the last-step trigger.
         Each clip starts from an empty window (no state bleed from the
         online stream or previous clips)."""
-        svc.token_window.clear()
-        svc.valid_window.clear()
-        svc.box_window.clear()
-        svc.last_trigger_time = -1e9
-        last = {}
-        for f in frames:
-            last = svc.process_frame(np.asarray(f))
+        with eval_lock:
+            eval_svc.token_window.clear()
+            eval_svc.valid_window.clear()
+            eval_svc.box_window.clear()
+            eval_svc.last_trigger_time = -1e9
+            last = {}
+            for f in frames:
+                last = eval_svc.process_frame(np.asarray(f))
         return {"response": last, "response_score":
                 float(last.get("target_obj_score", 0.0)),
                 "trigger_pred": float(last.get("trigger_score", 0.0)),

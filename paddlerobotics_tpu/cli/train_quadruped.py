@@ -223,17 +223,18 @@ def apply_task_preset(parser, argv):
     user passes explicitly always win — the preset only replaces the
     parser defaults.
     """
-    import sys
-
     from paddlerobotics_tpu.envs.registry import TASK_PRESETS
 
-    av = list(sys.argv[1:] if argv is None else argv)
-    mode = parser.get_default("task_mode")
-    for i, a in enumerate(av):
-        if a == "--task_mode" and i + 1 < len(av):
-            mode = av[i + 1]
-        elif a.startswith("--task_mode="):
-            mode = a.split("=", 1)[1]
+    # parse_known_args (not an argv scan) so argparse prefix
+    # abbreviations like `--task_mod stairstair` still pick the preset.
+    # Strip help flags from the probe so `--help` renders AFTER the
+    # preset defaults are applied.
+    import sys
+
+    av = [a for a in (sys.argv[1:] if argv is None else argv)
+          if a not in ("-h", "--help")]
+    probe, _ = parser.parse_known_args(av)
+    mode = probe.task_mode
     preset = TASK_PRESETS.get(mode, {})
     if preset:
         parser.set_defaults(**{k: (int(v) if isinstance(v, bool) else v)

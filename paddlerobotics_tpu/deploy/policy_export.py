@@ -26,10 +26,16 @@ from paddlerobotics_tpu.sim import a1_model as a1
 def export_gait_table(cfg: QuadrupedConfig, etg_w, etg_b,
                       n_steps: int = 600, path: str | None = None
                       ) -> np.ndarray:
-    """(n_steps, 12) joint-space ETG_act table (env_test.py equivalent)."""
+    """(n_steps, 12) joint-space ETG_act table (env_test.py equivalent).
+
+    Resolves pairing='auto' against the task mode exactly like the envs
+    do, so a gallop-trained policy exports the bound-gait table rather
+    than silently replaying trot.
+    """
+    etg_cfg = etg_model.resolve_pairing(cfg.etg, cfg.task.task_mode)
     table = np.asarray(etg_model.gait_table(jnp.asarray(etg_w),
                                             jnp.asarray(etg_b),
-                                            cfg.etg, n_steps))
+                                            etg_cfg, n_steps))
     if path:
         np.save(path, table)
     return table

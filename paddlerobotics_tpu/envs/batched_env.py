@@ -226,6 +226,28 @@ class BatchedQuadrupedEnv:
                 dyn = BDynParams.from_leading(dp)
             else:
                 dyn = BDynParams.default(self.B)
+        elif self._obs_taps is not None:
+            # Injected dynamics (dynamics ID, feasibility probes) must
+            # fit inside the tapped obs-latency blend reach; beyond it
+            # delayed_obs silently clips to near-zero latency. Concrete
+            # (non-traced) latencies are checked here; traced callers
+            # are expected to set obs_latency_taps=latency_buffer_len
+            # (core/config.py:205-211).
+            import warnings
+            lat = getattr(dyn, "control_latency", None)
+            if lat is not None and not isinstance(
+                    lat, jax.core.Tracer):
+                reach = (self._obs_taps - 1) * self.cfg.sim.substep_dt
+                lat_max = float(jnp.max(jnp.asarray(lat)))
+                if lat_max > reach + 1e-9:
+                    warnings.warn(
+                        f"reset(dyn=...) injects control_latency up to "
+                        f"{lat_max * 1e3:.1f} ms but obs_latency_taps="
+                        f"{self._obs_taps} only reaches "
+                        f"{reach * 1e3:.1f} ms — the blend will clip. "
+                        f"Set SimConfig.obs_latency_taps="
+                        f"latency_buffer_len for injected latencies.",
+                        stacklevel=2)
         rb = self._fresh_robot()
         if self.cfg.train.x_noise:
             # reset-position jitter (train.py --x_noise; reset kwarg
