@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 LOG_SIG_MIN = -20.0
@@ -57,6 +58,62 @@ class Critic(nn.Module):
         q2 = nn.relu(ln(nn.Dense(self.hidden)(q2), 3))
         q2 = nn.Dense(1)(q2)
         return q1, q2
+
+
+def critic_apply_fused(params, obs: jnp.ndarray, act: jnp.ndarray,
+                       layer_norm: bool = False,
+                       bf16: bool = False) -> Tuple[jnp.ndarray,
+                                                    jnp.ndarray]:
+    """Twin-Q forward with the two Q-MLPs fused into stacked matmuls.
+
+    Numerically identical to `Critic.__call__` on the SAME param tree
+    (Dense_0..2 = Q1, Dense_3..5 = Q2, optional LN_0..3), but each layer
+    is ONE dot_general with a size-2 batch dim instead of two sequential
+    256-wide matmuls — on TPU the learner chain is latency-bound on
+    small matmuls (docs/perf.md), so halving the op count shortens the
+    per-update critical path. `bf16=True` additionally runs the matmuls
+    in bfloat16 with fp32 accumulation (MXU-native; params/LN stay
+    fp32) — opt-in via SACConfig.bf16_matmul.
+    """
+    p = params["params"]
+    x = jnp.concatenate([obs, act], axis=-1)
+
+    def stacked(names):
+        return (jnp.stack([p[n]["kernel"] for n in names]),
+                jnp.stack([p[n]["bias"] for n in names]))
+
+    def mm(h, w):
+        # h (..., 2, b, i) @ w (2, i, o) with fp32 accumulate
+        if bf16:
+            h = h.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            h, w, (((h.ndim - 1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    def ln(h, names):
+        scale = jnp.stack([p[n]["scale"] for n in names])[:, None]
+        bias = jnp.stack([p[n]["bias"] for n in names])[:, None]
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
+        return (h - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+    w1, b1 = stacked(("Dense_0", "Dense_3"))
+    h = jnp.einsum("bi,kio->kbo", *((x.astype(jnp.bfloat16),
+                                     w1.astype(jnp.bfloat16))
+                                    if bf16 else (x, w1)),
+                   preferred_element_type=jnp.float32) + b1[:, None]
+    if layer_norm:
+        h = ln(h, ("LN_0", "LN_2"))
+    h = nn.relu(h)
+    w2, b2 = stacked(("Dense_1", "Dense_4"))
+    h = mm(h, w2) + b2[:, None]
+    if layer_norm:
+        h = ln(h, ("LN_1", "LN_3"))
+    h = nn.relu(h)
+    w3, b3 = stacked(("Dense_2", "Dense_5"))
+    q = mm(h, w3) + b3[:, None]
+    return q[0], q[1]
 
 
 class GRUActor(nn.Module):

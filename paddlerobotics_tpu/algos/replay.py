@@ -71,6 +71,29 @@ def sample(buf: ReplayBuffer, rng: jax.Array, batch_size: int
     }
 
 
+def sample_many(buf: ReplayBuffer, rng: jax.Array, k: int,
+                batch_size: int) -> Dict[str, jnp.ndarray]:
+    """K independent uniform batches in ONE gather, leading axis k.
+
+    Distribution-identical to k sequential `sample` calls (indices are
+    independent of the learner, and the buffer contents don't change
+    between the K updates of a control step), but the random-access HBM
+    gather happens once for k·batch_size rows instead of k times —
+    feeds the scan-over-updates in train/etg_rl without k round trips
+    through the 1M-row buffer.
+    """
+    idx = jax.random.randint(rng, (k * batch_size,), 0,
+                             jnp.maximum(buf.size, 1))
+    shp = (k, batch_size)
+    return {
+        "obs": buf.obs[idx].reshape(shp + buf.obs.shape[1:]),
+        "act": buf.act[idx].reshape(shp + buf.act.shape[1:]),
+        "rew": buf.rew[idx].reshape(shp + buf.rew.shape[1:]),
+        "next_obs": buf.next_obs[idx].reshape(shp + buf.next_obs.shape[1:]),
+        "terminal": buf.terminal[idx].reshape(shp + buf.terminal.shape[1:]),
+    }
+
+
 class BCReplayBuffer(NamedTuple):
     """Paired (student_obs, expert_obs) buffer (BCreplay_buffer.py:21-78)."""
 

@@ -15,13 +15,15 @@ inside the training scan.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from paddlerobotics_tpu.algos.networks import Actor, Critic
+from paddlerobotics_tpu.algos.networks import (Actor, Critic,
+                                               critic_apply_fused)
 from paddlerobotics_tpu.core.config import SACConfig
 
 
@@ -52,6 +54,13 @@ class SAC:
         self.critic_tx = optax.adam(cfg.critic_lr)
         self.alpha_tx = optax.adam(cfg.alpha_lr)
         self.target_entropy = -float(action_dim)
+        # Twin-Q forward used by learn(): fused stacked-matmul version
+        # of self.critic (numerically identical on the same param tree;
+        # networks.critic_apply_fused) — halves the learner's sequential
+        # matmul chain. bf16 matmuls opt-in via cfg.bf16_matmul.
+        self._q = functools.partial(critic_apply_fused,
+                                    layer_norm=cfg.ln_critic,
+                                    bf16=cfg.bf16_matmul)
 
     def init(self, rng: jax.Array) -> SACState:
         k1, k2 = jax.random.split(rng)
@@ -120,14 +129,14 @@ class SAC:
         # critic update
         next_act, next_logp = self.sample(state.actor_params,
                                           batch["next_obs"], k_next)
-        q1_t, q2_t = self.critic.apply(state.target_critic_params,
-                                       batch["next_obs"], next_act)
+        q1_t, q2_t = self._q(state.target_critic_params,
+                             batch["next_obs"], next_act)
         target_q = jnp.minimum(q1_t, q2_t) - alpha * next_logp
         target_q = batch["rew"] + cfg.gamma * batch["terminal"] * target_q
         target_q = jax.lax.stop_gradient(target_q)
 
         def critic_loss_fn(params):
-            q1, q2 = self.critic.apply(params, batch["obs"], batch["act"])
+            q1, q2 = self._q(params, batch["obs"], batch["act"])
             return (jnp.mean((q1 - target_q) ** 2) +
                     jnp.mean((q2 - target_q) ** 2))
 
@@ -141,7 +150,7 @@ class SAC:
         # torch updates in sac.py:77-82)
         def actor_loss_fn(params):
             act, logp = self.sample(params, batch["obs"], k_pi)
-            q1, q2 = self.critic.apply(critic_params, batch["obs"], act)
+            q1, q2 = self._q(critic_params, batch["obs"], act)
             min_q = jnp.minimum(q1, q2)
             return jnp.mean(alpha * logp - min_q)
 

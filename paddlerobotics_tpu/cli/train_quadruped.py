@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--feet", type=float, default=0.3)
     p.add_argument("--badfoot", type=float, default=0.1)
     p.add_argument("--footcontact", type=float, default=0.1)
+    p.add_argument("--lateral", type=float, default=0.0,
+                   help="centerline-tracking shaping weight (|y| + "
+                        "lateral speed + yaw); balance-beam preset "
+                        "turns it on, 0 = reference weight vector")
     p.add_argument("--act_bound", type=float, default=0.3)
     p.add_argument("--sensor_dis", type=int, default=1)
     p.add_argument("--sensor_motor", type=int, default=1)
@@ -151,6 +155,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "gait (small-noise residual) instead of uniform "
                         "random during warmup, so early replay contains "
                         "walking transitions (0 = all-random warmup)")
+    p.add_argument("--det_frac", type=float, default=0.0,
+                   help="fraction of envs rolling the deterministic "
+                        "(mean) action during training so replay covers "
+                        "the eval-time state distribution "
+                        "(SACConfig.det_rollout_frac)")
     return p
 
 
@@ -166,7 +175,8 @@ def config_from_args(args) -> QuadrupedConfig:
                       critic_reset_steps=getattr(args, "critic_reset_steps",
                                                  0),
                       warmup_gait_frac=getattr(args, "warmup_gait_frac",
-                                               0.5)),
+                                               0.5),
+                      det_rollout_frac=getattr(args, "det_frac", 0.0)),
         sensors=SensorConfig(
             dis=bool(args.sensor_dis), motor=args.sensor_motor,
             imu=args.sensor_imu, contact=bool(args.sensor_contact),
@@ -181,7 +191,7 @@ def config_from_args(args) -> QuadrupedConfig:
             torso=args.torso, up=args.up, feet=args.feet, tau=args.tau,
             stand=args.stand, badfoot=args.badfoot,
             footcontact=args.footcontact, reward_p=args.reward_p,
-            vel_d=args.vel_d),
+            vel_d=args.vel_d, lateral=getattr(args, "lateral", 0.0)),
         random=RandomConfig(
             random_dynamics=bool(args.random_dynamic),
             random_force=bool(args.random_force),

@@ -101,6 +101,15 @@ class RewardConfig:
     stand: float = 0.0
     badfoot: float = 0.1
     footcontact: float = 0.1
+    # Centering/heading shaping: penalize lateral displacement from the
+    # course centerline (world |y|), lateral speed, and yaw error. NOT a
+    # reference Param_Dict channel — a calibration extension for the
+    # balance-beam task (the reference handles the beam with the
+    # narrow-stance step_y workflow, README.md:65, and ships a trained
+    # model rather than a recipe). Default 0 keeps every other task on
+    # the exact reference weight vector; TASK_PRESETS['balance_beam']
+    # turns it on.
+    lateral: float = 0.0
     # Global scale applied to the summed shaped reward (train.py --reward_p).
     reward_p: float = 5.0
     # Desired forward velocity (train.py --vel_d).
@@ -319,6 +328,10 @@ class SACConfig:
     # (docs/update_schedule.md finding 3: B=256/K=64 and K=256 peak near
     # 5M steps then decay). Off by default — reference parity.
     ln_critic: bool = False            # LayerNorm before each critic ReLU
+    # bfloat16 critic matmuls (fp32 accumulate/params) in learn() — MXU-
+    # native; opt-in until return parity is recorded per task
+    # (docs/perf.md round-4 measurements).
+    bf16_matmul: bool = False
     critic_reset_steps: int = 0        # full critic+target+opt re-init
                                        # every N env steps (primacy-bias
                                        # reset; 0 = never)
@@ -334,6 +347,16 @@ class SACConfig:
     # transitions in early replay wherever the (seeded) gait walks.
     warmup_gait_frac: float = 0.5
     warmup_gait_sigma: float = 0.05    # residual noise on the gait envs
+    # Fraction of envs that roll the DETERMINISTIC (mean) action during
+    # training instead of the sampled one. The reference evaluates (and
+    # deploys) the mean action (mujoco_agent.predict; deployment/
+    # test.py:95) but only ever trains on sampled rollouts — on tasks
+    # where the sampled policy's dither is load-bearing (balance beam:
+    # lateral drift of the mean action, docs/task_matrix.md) the
+    # deterministic policy is off-distribution for the critic. SAC is
+    # off-policy, so rolling a slice of the batch at the mean puts the
+    # eval-time state distribution in replay. 0 = reference behavior.
+    det_rollout_frac: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,6 +95,18 @@ class BatchedQuadrupedEnv:
                 t = max(2, 1 + math.ceil(
                     config.sim.control_latency / config.sim.substep_dt))
         self._obs_taps = t
+        # Ring length: when the deepest reader (policy-obs blend taps +
+        # pd-latency taps) stays within ONE control step's substeps, the
+        # ring IS the megakernel's per-substep snapshot stack — each
+        # control step fully overwrites it (ring_push fast path, zero
+        # copy). Under DR (full-ring blend) size it to the latency
+        # buffer, rounded up to a multiple of n so block writes never
+        # wrap (physics_step.py invariant).
+        n = config.sim.action_repeat
+        pd = sbatch.pd_delay_taps(config.sim, 10 ** 9)
+        need = (config.sim.latency_buffer_len if t is None
+                else max(t, pd[0] if pd else 1))
+        self._hist_len = need if need <= n else -(-need // n) * n
         # pairing='auto' -> bound for the gallop task, trot otherwise
         self._etg_cfg = etg_model.resolve_pairing(config.etg,
                                                   config.task.task_mode)
@@ -204,7 +216,8 @@ class BatchedQuadrupedEnv:
     # -- reset ----------------------------------------------------------------
 
     def _fresh_robot(self) -> BRobot:
-        return sbatch.init_robot(self.B, height=self._spawn_height)
+        return sbatch.init_robot(self.B, height=self._spawn_height,
+                                 hist_len=self._hist_len)
 
     def reset(self, rng: jax.Array,
               etg_w: Optional[jnp.ndarray] = None,
@@ -459,11 +472,14 @@ class BatchedQuadrupedEnv:
         foot_h = (rb.contact.foot_pos[2] -
                   self.h_fn(rb.contact.foot_pos[0], rb.contact.foot_pos[1]) -
                   a1.FOOT_RADIUS)                   # (4,B)
+        vel_y = Rb[1][0] * s.v[0] + Rb[1][1] * s.v[1] + Rb[1][2] * s.v[2]
+        yaw = jnp.arctan2(Rb[1][0], Rb[0][0])
         reward, rinfo = reward_mod.compute_reward(
             cfg.reward, dx, velx, up_z, s.w, rb.tau, foot_h,
             swing.astype(F32), stance.astype(F32),
             rb.contact.foot_contact, rb.contact.knee_contact,
-            rb.contact.base_contact)
+            rb.contact.base_contact,
+            y_pos=s.pos[1], vel_y=vel_y, yaw=yaw)
         r_torso, r_up, r_feet, r_tau = (rinfo["torso"], rinfo["up"],
                                         rinfo["feet"], rinfo["tau"])
         r_stand, r_badfoot, r_footcontact = (

@@ -302,7 +302,10 @@ class QuadrupedEnv:
             cfg.reward, dx, velx, up_z, st.base_ang_vel,
             rb.applied_torque, foot_h, swing.astype(jnp.float32),
             stance.astype(jnp.float32), rb.contact.in_contact,
-            knee_contacts, base_contact)
+            knee_contacts, base_contact,
+            y_pos=st.base_pos[1],
+            vel_y=base_vel_w[1],
+            yaw=jnp.arctan2(R_b[1, 0], R_b[0, 0]))
 
         # termination: rollover / trunk too low / trunk touches ground
         local_h = self.h_fn(st.base_pos[0], st.base_pos[1])

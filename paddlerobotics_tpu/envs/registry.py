@@ -33,8 +33,12 @@ TASK_PRESETS: dict = {
     "stairstair": dict(critic_reset_steps=5_000_000),
     # the reference's own balance-beam workflow narrows the stance with
     # step_y (README.md:65 "for balance beam task") so the feet track
-    # the plank centerline; 0.05 is the golden-trace stance
-    "balance_beam": dict(critic_reset_steps=5_000_000, step_y=0.05),
+    # the plank centerline; 0.05 is the golden-trace stance. The 0.4 m
+    # plank is the docs/task_matrix.md geometry (now also the CLI
+    # default via this preset). lateral/det_frac attack the round-3
+    # mean-action drift (scripts_dev/beam_arms.py).
+    "balance_beam": dict(critic_reset_steps=5_000_000, step_y=0.05,
+                         beam_width=0.4),
 }
 
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from paddlerobotics_tpu.core.config import RewardConfig
 
 REWARD_CHANNELS = ("torso", "up", "feet", "tau", "stand", "badfoot",
-                   "footcontact", "velx", "rew")
+                   "footcontact", "lateral", "velx", "rew")
 
 
 def compute_reward(cfg: RewardConfig,
@@ -51,6 +51,9 @@ def compute_reward(cfg: RewardConfig,
                    foot_contacts: jnp.ndarray,
                    knee_contacts: jnp.ndarray,
                    base_contact: jnp.ndarray,
+                   y_pos: jnp.ndarray | float = 0.0,
+                   vel_y: jnp.ndarray | float = 0.0,
+                   yaw: jnp.ndarray | float = 0.0,
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Per-step reward and info channels for one env.
 
@@ -65,6 +68,10 @@ def compute_reward(cfg: RewardConfig,
       foot_contacts: (4,) bool foot-ground contact.
       knee_contacts: (4,) bool knee/calf illegal contact.
       base_contact: () bool trunk-ground contact.
+      y_pos: world lateral base position (m) — courses run along +x
+        from y=0, so |y| is distance off the centerline.
+      vel_y: world lateral base velocity (m/s).
+      yaw: world heading error (rad; spawn heading = 0).
     """
     # torso: forward progress toward vel_d, capped so over-speed isn't
     # free. ×2.0 calibration (validated 3.0 / default 1.5).
@@ -87,6 +94,14 @@ def compute_reward(cfg: RewardConfig,
     # ×1/2 (0.05/0.1).
     miss = stance_mask * (1.0 - foot_contacts.astype(jnp.float32))
     r_footcontact = -jnp.sum(miss, axis=0) * 0.013
+    # lateral: centerline tracking (balance-beam shaping; weight 0 by
+    # default). |y| normalized by the beam half-width scale (0.15 m),
+    # lateral speed damps the drift mode, yaw keeps the heading down
+    # the plank. Per-step scale matches the other channels (~0.026 at
+    # full displacement) so weight 1.0 trades ~1:1 against torso.
+    r_lateral = -(jnp.abs(y_pos) / 0.15
+                  + 0.5 * jnp.abs(vel_y)
+                  + 0.5 * jnp.abs(yaw)) * 0.026
 
     reward = cfg.reward_p * (
         cfg.torso * r_torso
@@ -95,11 +110,12 @@ def compute_reward(cfg: RewardConfig,
         + cfg.tau * r_tau
         + cfg.stand * r_stand
         + cfg.badfoot * r_badfoot
-        + cfg.footcontact * r_footcontact)
+        + cfg.footcontact * r_footcontact
+        + cfg.lateral * r_lateral)
 
     info = {
         "torso": r_torso, "up": r_up, "feet": r_feet, "tau": r_tau,
         "stand": r_stand, "badfoot": r_badfoot, "footcontact": r_footcontact,
-        "velx": velx, "rew": reward,
+        "lateral": r_lateral, "velx": velx, "rew": reward,
     }
     return reward, info

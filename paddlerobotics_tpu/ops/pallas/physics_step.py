@@ -42,7 +42,7 @@ _PARAM_FIELDS = list(BDynParams._fields)
 
 
 def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int,
-            taps):
+            taps, stack_rows: int):
     in_refs = refs[:n_in]
     out_refs = refs[n_in:]
     (pos_r, quat_r, w_r, v_r, q_r, qd_r, prev_r, act_r, qdref_r,
@@ -105,7 +105,15 @@ def _kernel(*refs, cfg: SimConfig, h_fn, torque_mode: bool, n_in: int,
             inertias=inertias)
         ns = sbatch.integrate(s, a0, qdd, cfg.substep_dt, cfg)
         row = jnp.concatenate([ns.q, ns.qd, ns.quat, ns.w], axis=0)
-        stack_r[pl.dslice(i, 1)] = row[None]
+        # only the newest `stack_rows` snapshots are ever read when the
+        # obs ring is a single control step (batched_env._hist_len) —
+        # skip the dead writes (ring HBM traffic drops n/stack_rows ×)
+        if stack_rows == n:
+            stack_r[pl.dslice(i, 1)] = row[None]
+        else:
+            @pl.when(i >= n - stack_rows)
+            def _():
+                stack_r[pl.dslice(i - (n - stack_rows), 1)] = row[None]
         if taps:
             ph = jnp.concatenate([row[None, :24], ph[:-1]], axis=0)
         aux = (tau, contact.foot_pos,
@@ -138,7 +146,10 @@ def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
     grid = (B // blk,)
     n = cfg.action_repeat
     L = rb.obs_hist.shape[0]
-    assert L % n == 0, (L, n)   # ring block writes never wrap
+    # same two ring regimes as sbatch.control_step: single-step ring
+    # (L <= n, full overwrite) or long ring (block writes never wrap)
+    assert L <= n or L % n == 0, (L, n)
+    S = min(L, n)               # snapshot rows the ring can consume
     taps = sbatch.pd_delay_taps(cfg, L)
 
     def bspec(shape):
@@ -174,14 +185,14 @@ def control_step_pallas(rb: BRobot, action: jnp.ndarray, p: BDynParams,
         jax.ShapeDtypeStruct((4, B), F32),           # foot_contact
         jax.ShapeDtypeStruct((4, B), F32),           # knee_contact
         jax.ShapeDtypeStruct((B,), F32),             # base_contact
-        jax.ShapeDtypeStruct((n, OBS_ROW, B), F32),  # per-substep snapshots
+        jax.ShapeDtypeStruct((S, OBS_ROW, B), F32),  # newest substep rows
     ]
     out_specs = [bspec(o.shape) for o in out_shapes]
 
     outs = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg, h_fn=h_fn,
                           torque_mode=torque_mode, n_in=len(inputs),
-                          taps=taps),
+                          taps=taps, stack_rows=S),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,

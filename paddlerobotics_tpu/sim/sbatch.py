@@ -718,7 +718,10 @@ def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
     n = cfg.action_repeat
     inertias = build_inertias(p)
     L = rb.obs_hist.shape[0]
-    assert L % n == 0, (L, n)   # contiguous block writes never wrap
+    # two ring regimes: L <= n (single-step ring, full overwrite of the
+    # newest L rows) or L % n == 0 (long ring, contiguous block writes
+    # never wrap)
+    assert L <= n or L % n == 0, (L, n)
     taps = pd_delay_taps(cfg, L)
     # PD ring seed: newest-first (q, qd) substep snapshots carried over
     # from the previous control step (ring head == the current state).
@@ -754,8 +757,14 @@ def control_step(rb: BRobot, action: jnp.ndarray, p: BDynParams,
 
 def ring_push(obs_hist: jnp.ndarray, head: jnp.ndarray,
               rows: jnp.ndarray):
-    """Write `rows` (n, OBS_ROW, B) after `head`; newest = last row."""
+    """Write `rows` (S, OBS_ROW, B) after `head`; newest = last row."""
     L, n = obs_hist.shape[0], rows.shape[0]
+    if L <= n:
+        # single-control-step ring (batched_env sizes it this way when
+        # every reader's taps fit in one step): full overwrite with the
+        # newest L rows — the snapshot stack IS the ring, no copy, head
+        # pinned at newest.
+        return rows[n - L:], jnp.asarray(L - 1, jnp.int32)
     o = (head + 1) % L
     hist = jax.lax.dynamic_update_slice(obs_hist, rows, (o, 0, 0))
     return hist, o + n - 1

@@ -243,6 +243,14 @@ class ETGRLTrainer:
                 if warm:
                     action, _ = sac.sample(c.sac_state.actor_params, c.obs,
                                            k_act)
+                    n_det = int(cfg.sac.det_rollout_frac * self.B)
+                    if n_det > 0:
+                        # first n_det envs roll the mean action so replay
+                        # covers the eval-time (deterministic) state
+                        # distribution — see SACConfig.det_rollout_frac
+                        det = sac.predict(c.sac_state.actor_params, c.obs)
+                        mask = (jnp.arange(self.B) < n_det)[:, None]
+                        action = jnp.where(mask, det, action)
                 else:
                     k_act, k_gait = jax.random.split(k_act)
                     action = jax.random.uniform(
@@ -274,15 +282,25 @@ class ETGRLTrainer:
                     # compile time stays flat in K, so high update:data
                     # ratios (the reference does 1 update per SINGLE-env
                     # step, train.py:163-167) are reachable. See
-                    # docs/update_schedule.md for the sweep.
-                    def upd(st, k):
-                        k_b, k_u = jax.random.split(k)
-                        batch = replay.sample(buf, k_b, cfg.sac.batch_size)
+                    # docs/update_schedule.md for the sweep. All K
+                    # batches are gathered from replay in ONE fused
+                    # random-access pass (replay.sample_many) — buffer
+                    # contents don't change between the K updates, so
+                    # this is distribution-identical to per-update
+                    # sampling.
+                    k_b, k_learn = jax.random.split(k_learn)
+                    batches = replay.sample_many(
+                        buf, k_b, self.updates_per_step,
+                        cfg.sac.batch_size)
+
+                    def upd(st, xs):
+                        batch, k_u = xs
                         return sac.learn(st, batch, k_u)
 
                     sac_state, losses_seq = jax.lax.scan(
                         upd, sac_state,
-                        jax.random.split(k_learn, self.updates_per_step))
+                        (batches,
+                         jax.random.split(k_learn, self.updates_per_step)))
                     losses = jax.tree.map(jnp.mean, losses_seq)
                 out = {"reward": jnp.mean(rew),
                        "done_frac": jnp.mean(done.astype(jnp.float32)),

@@ -1,0 +1,124 @@
+"""Balance-beam round-4 arms: close the deterministic-eval gap.
+
+Round-3 diagnosis (docs/task_matrix.md): the stochastic policy runs the
+plank at 0.65-0.88 success for full 600-step episodes, but the
+DETERMINISTIC (mean-action) policy drifts laterally and falls ~0.5 m in
+(eval steps 44-64) in every arm tried — budget, stance geometry, and
+schedule don't close it. Round-4 arms attack the drift directly:
+
+  lat     --lateral shaping (centerline |y| + lateral speed + yaw)
+  det     --det_frac mean-action rollout slice (eval-state replay)
+  latdet  both
+
+Usage: python scripts_dev/beam_arms.py [arms=lat,det,latdet] [budget=40000000]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+import traceback
+
+import jax.numpy as jnp
+
+from paddlerobotics_tpu.core.config import (ESConfig, QuadrupedConfig,
+                                            RewardConfig, SACConfig,
+                                            TaskConfig, TrainConfig)
+from paddlerobotics_tpu.envs.registry import TASK_PRESETS
+from paddlerobotics_tpu.etg import seeds as etg_seeds
+from paddlerobotics_tpu.train.etg_rl import ETGRLTrainer
+
+B = 4096
+EVAL_STEPS = 600
+
+ARMS = {
+    # shipped preset (narrow stance + beam seed + critic reset) ± knobs
+    "lat": dict(lateral=1.0, det_frac=0.0),
+    "lat05": dict(lateral=0.5, det_frac=0.0),
+    "det": dict(lateral=0.0, det_frac=0.25),
+    "latdet": dict(lateral=1.0, det_frac=0.25),
+}
+
+
+def run(arm: str, budget: int):
+    knobs = ARMS[arm]
+    preset = TASK_PRESETS.get("balance_beam", {})
+    nb = preset.get("num_envs", B)
+    ups = preset.get("updates_per_step", 4)
+    cfg = QuadrupedConfig(
+        sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
+        etg=dataclasses.replace(
+            QuadrupedConfig().etg,
+            step_y=preset.get("step_y", QuadrupedConfig().etg.step_y)),
+        sac=SACConfig(warmup_steps=preset.get("warmup_steps", 200_000),
+                      ln_critic=preset.get("ln_critic", False),
+                      critic_reset_steps=preset.get("critic_reset_steps", 0),
+                      det_rollout_frac=knobs["det_frac"]),
+        reward=RewardConfig(lateral=knobs["lateral"]),
+        es=ESConfig(es_every_steps=400 * nb),
+        # same plank geometry as the round-3 arm table (task_matrix.py)
+        task=TaskConfig(task_mode="balance_beam", beam_width=0.4),
+        train=TrainConfig(num_envs=nb, eval_every_steps=10**10,
+                          e_step=400, eval_episode_len=EVAL_STEPS),
+    )
+    outdir = f"/tmp/beam_arms/{arm}"
+    os.makedirs(outdir, exist_ok=True)
+    tr = ETGRLTrainer(cfg, num_envs=nb, outdir=outdir,
+                      updates_per_step=ups)
+    seed_param = etg_seeds.load_seed_param("balance_beam")
+    t0 = time.time()
+    carry, (w, b, p) = tr.train(
+        max_steps=budget, chunk_steps=50, checkpoint=False,
+        init_etg_param=None if seed_param is None
+        else jnp.asarray(seed_param))
+    wall = time.time() - t0
+
+    velx, succ = [], []
+    for line in open(f"{outdir}/metrics.jsonl"):
+        d = json.loads(line)
+        if d["tag"] == "train/mean_velx":
+            velx.append(d["value"])
+        elif d["tag"] == "train/mean_success":
+            succ.append(d["value"])
+    tail = lambda xs: round(sum(xs[-8:]) / max(len(xs[-8:]), 1), 3)
+
+    ret, steps, infos = tr.evaluate(carry.sac_state.actor_params, w, b,
+                                    EVAL_STEPS)
+    steps_f = max(float(steps), 1.0)
+    return {"arm": arm, **knobs, "wall_s": round(wall, 1),
+            "schedule": f"B={nb}/K={ups}",
+            "train_velx": tail(velx), "train_success": tail(succ),
+            "eval_velx": round(float(infos["velx"]) / steps_f, 3),
+            "eval_success": round(float(infos["success"]) / steps_f, 3),
+            "eval_return": round(float(ret), 2),
+            "eval_steps": round(steps_f, 1)}
+
+
+def main():
+    arms = ["lat", "det", "latdet"]
+    budget = 40_000_000
+    for a in sys.argv[1:]:
+        if a.startswith("arms="):
+            arms = a.split("=", 1)[1].split(",")
+        elif a.startswith("budget="):
+            budget = int(a.split("=", 1)[1])
+    os.makedirs("/tmp/beam_arms", exist_ok=True)
+    summary_path = "/tmp/beam_arms/summary.json"
+    results = (json.load(open(summary_path))
+               if os.path.exists(summary_path) else [])
+    for arm in arms:
+        print(f"=== {arm} ===", flush=True)
+        try:
+            r = run(arm, budget)
+        except Exception:
+            traceback.print_exc()
+            r = {"arm": arm, "error": traceback.format_exc()[-300:]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+        with open(summary_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,3 +129,32 @@ def test_megakernel_stairs_terrain():
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(rb_pal.s.q),
                                np.asarray(rb_ref.s.q), atol=1e-5)
+
+
+def test_megakernel_short_ring_matches_soa():
+    """Single-control-step ring regime (L < action_repeat, the no-DR
+    default in batched_env): the kernel writes only the newest L
+    snapshot rows; both paths must agree on the ring and on the state."""
+    cfg = SimConfig()
+    h_fn = terrain.height_fn(TaskConfig(task_mode="ground"))
+    B = 4
+    for L in (2, 3):
+        rb = sbatch.init_robot(B, height=0.30, hist_len=L)
+        p = sbatch.BDynParams.default(B)
+        target = jnp.broadcast_to(
+            jnp.asarray(a1.INIT_MOTOR_ANGLES, jnp.float32)[:, None],
+            (12, B)) + 0.05
+        rb_ref, rb_pal = rb, rb
+        for _ in range(2):
+            rb_ref = sbatch.control_step(rb_ref, target, p, cfg, h_fn)
+            rb_pal = control_step_pallas(rb_pal, target, p, cfg, h_fn,
+                                         block_b=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(rb_pal.obs_hist),
+                                   np.asarray(rb_ref.obs_hist), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rb_pal.s.q),
+                                   np.asarray(rb_ref.s.q), atol=1e-5)
+        assert int(rb_ref.hist_head) == int(rb_pal.hist_head) == L - 1
+        # the short ring holds the NEWEST L rows: its last row must be
+        # the current post-substep state snapshot
+        np.testing.assert_allclose(np.asarray(rb_ref.obs_hist[-1, :12]),
+                                   np.asarray(rb_ref.s.q), atol=1e-6)

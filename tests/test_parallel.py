@@ -135,3 +135,100 @@ def test_trainer_full_mesh_training():
              if getattr(x, "ndim", 0) == 2]
     assert any(s == P(None, "model") for s in specs), specs
     assert np.all(np.isfinite(np.asarray(carry.obs)))
+
+
+def test_bc_distillation_on_mesh():
+    """BC collect+distill (Q2/Q19 recipe) under env-axis sharding must
+    match the unsharded run (the reference runs BCtrain on one host;
+    here the expert rollout shards over 'env' like every env surface)."""
+    from paddlerobotics_tpu.algos.sac import SAC
+    from paddlerobotics_tpu.core.config import QuadrupedConfig, SACConfig
+    from paddlerobotics_tpu.train.bc_train import BCTrainer
+
+    B = 16
+    cfg = QuadrupedConfig(sac=SACConfig())
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+    obs_dim = BatchedQuadrupedEnv(cfg, 1).obs_dim
+    expert = SAC(obs_dim, 12, cfg.sac)
+    expert_state = expert.init(jax.random.key(3))
+    tr = BCTrainer(cfg, expert, expert_state, num_envs=B,
+                   outdir="/tmp/bc_mesh_test")
+    state, obs = jax.jit(tr.env.reset)(jax.random.key(0))
+
+    _, _, _, (s_ref, e_ref) = tr.collect(state, obs, jax.random.key(1), 3)
+
+    mesh = sh.make_mesh(n_env=8, n_model=1)
+    state_sh = sh.shard_env_state(mesh, state)
+    with jax.set_mesh(mesh):
+        env_state, obs2, rng2, (s_sh, e_sh) = tr.collect(
+            state_sh, obs, jax.random.key(1), 3)
+        # distill consumes the sharded collection through the BC buffer
+        from paddlerobotics_tpu.algos import replay
+        buf = replay.bc_create(4096, tr.student_obs_dim, tr.env.obs_dim)
+        buf = replay.bc_add_batch(buf, s_sh, e_sh)
+        bc_state = tr.bc.init(jax.random.key(4))
+        bc_state, losses = tr.distill(bc_state, buf, jax.random.key(5), 2)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                               atol=1e-4)
+    assert np.isfinite(float(losses["actor_loss"]))
+
+
+def test_dynamics_id_generation_on_mesh():
+    """One dynamics-ID ES generation (Q20, Dynamic_parallel_model.py:
+    95-99's xparl fan-out) with the candidate population sharded over
+    the env axis."""
+    from paddlerobotics_tpu.core.config import QuadrupedConfig
+    from paddlerobotics_tpu.train.dynamics_id import DynamicsIdentifier
+
+    P_ = 8
+    T = 4
+    rng = np.random.RandomState(0)
+    gait = rng.randn(T, 12).astype(np.float32) * 0.05
+    real_q = rng.randn(T, 12).astype(np.float32) * 0.1
+    real_g = rng.randn(T, 3).astype(np.float32) * 0.1
+    ident = DynamicsIdentifier(QuadrupedConfig(), gait, real_q, real_g,
+                               popsize=P_, outdir="/tmp/dynid_mesh_test")
+    sols, _ = ident.solver.ask(
+        ident.solver.init(jnp.zeros(sols_dim := 48)), jax.random.key(1))
+    fit_ref = ident._fitness(sols, jax.random.key(2))
+
+    mesh = sh.make_mesh(n_env=8, n_model=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sols_sh = jax.device_put(sols, NamedSharding(mesh, P("env", None)))
+    with jax.set_mesh(mesh):
+        fit_sh = ident._fitness(sols_sh, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(fit_sh), np.asarray(fit_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip_of_sharded_carry():
+    """Orbax save/restore of a tensor-parallel-sharded SAC state (the
+    A3 aux surface under the mesh): restored leaves equal the saved
+    ones and re-place onto the mesh."""
+    import os
+    import tempfile
+
+    from paddlerobotics_tpu.algos.sac import SAC
+    from paddlerobotics_tpu.core.config import SACConfig
+    from paddlerobotics_tpu.train import checkpoints
+
+    sac = SAC(24, 12, SACConfig())
+    state = sac.init(jax.random.key(0))
+    mesh = sh.make_mesh(n_env=4, n_model=2)
+    sharded = state._replace(
+        actor_params=sh.shard_params_tp(mesh, state.actor_params),
+        critic_params=sh.shard_params_tp(mesh, state.critic_params))
+    with tempfile.TemporaryDirectory() as d:
+        checkpoints.save(d, {"sac": sharded._asdict()}, 7)
+        restored = checkpoints.restore(
+            os.path.join(d, "itr_7"), {"sac": sharded._asdict()})
+    a0 = jax.tree.leaves(sharded.actor_params)
+    a1 = jax.tree.leaves(restored["sac"]["actor_params"])
+    for x, y in zip(a0, a1):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # re-placement onto the mesh preserves tensor-parallel specs
+    re_sh = sh.shard_params_tp(mesh, restored["sac"]["actor_params"])
+    from jax.sharding import PartitionSpec as P
+    specs = [x.sharding.spec for x in jax.tree.leaves(re_sh)
+             if getattr(x, "ndim", 0) == 2]
+    assert any(s == P(None, "model") for s in specs), specs

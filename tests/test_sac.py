@@ -175,3 +175,44 @@ def test_reset_critic_keeps_actor():
     assert float(jnp.abs(c_old - c_new).max()) > 1e-6
     t_new = jax.tree.leaves(reset.target_critic_params)[0]
     np.testing.assert_array_equal(np.asarray(c_new), np.asarray(t_new))
+
+
+def test_fused_critic_apply_matches_module():
+    """networks.critic_apply_fused must reproduce Critic.apply exactly
+    (same param tree; stacked-matmul fusion is a pure reformulation)."""
+    from paddlerobotics_tpu.algos.networks import Critic, critic_apply_fused
+
+    for ln in (False, True):
+        crit = Critic(hidden=64, layer_norm=ln)
+        params = crit.init(jax.random.key(0), jnp.zeros((1, 8)),
+                           jnp.zeros((1, 3)))
+        obs = jax.random.normal(jax.random.key(1), (32, 8))
+        act = jnp.tanh(jax.random.normal(jax.random.key(2), (32, 3)))
+        q1_m, q2_m = crit.apply(params, obs, act)
+        q1_f, q2_f = critic_apply_fused(params, obs, act, layer_norm=ln)
+        np.testing.assert_allclose(np.asarray(q1_m), np.asarray(q1_f),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(q2_m), np.asarray(q2_f),
+                                   rtol=1e-5, atol=1e-5)
+        # bf16 path stays close (fp32 accumulate)
+        q1_b, q2_b = critic_apply_fused(params, obs, act, layer_norm=ln,
+                                        bf16=True)
+        np.testing.assert_allclose(np.asarray(q1_m), np.asarray(q1_b),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_sample_many_matches_sample_distribution():
+    from paddlerobotics_tpu.algos import replay
+
+    buf = replay.create(128, 4, 2)
+    for i in range(4):
+        buf = replay.add_batch(
+            buf, jnp.full((32, 4), i, jnp.float32),
+            jnp.zeros((32, 2)), jnp.zeros(32),
+            jnp.full((32, 4), i, jnp.float32), jnp.ones(32))
+    many = replay.sample_many(buf, jax.random.key(0), 3, 16)
+    assert many["obs"].shape == (3, 16, 4)
+    assert many["rew"].shape == (3, 16, 1)
+    # every sampled row is a real buffer row (obs == next_obs marker)
+    np.testing.assert_array_equal(np.asarray(many["obs"]),
+                                  np.asarray(many["next_obs"]))
