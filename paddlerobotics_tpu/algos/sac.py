@@ -124,7 +124,12 @@ class SAC:
         """
         cfg = self.cfg
         k_next, k_pi = jax.random.split(rng)
-        alpha = jnp.exp(state.log_alpha) if cfg.auto_alpha else cfg.alpha
+        # log_alpha carries the live temperature when it's auto-tuned OR
+        # host-annealed (SACConfig.alpha_anneal_steps; the trainer sets
+        # it per chunk like the DR scale)
+        alpha = (jnp.exp(state.log_alpha)
+                 if (cfg.auto_alpha or cfg.alpha_anneal_steps > 0)
+                 else cfg.alpha)
 
         # critic update
         next_act, next_logp = self.sample(state.actor_params,

@@ -155,6 +155,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "gait (small-noise residual) instead of uniform "
                         "random during warmup, so early replay contains "
                         "walking transitions (0 = all-random warmup)")
+    p.add_argument("--alpha_anneal_steps", type=int, default=0,
+                   help="linearly anneal SAC alpha to --alpha_final "
+                        "over N env steps (0 = reference fixed alpha)")
+    p.add_argument("--alpha_final", type=float, default=0.05)
     p.add_argument("--det_frac", type=float, default=0.0,
                    help="fraction of envs rolling the deterministic "
                         "(mean) action during training so replay covers "
@@ -176,7 +180,10 @@ def config_from_args(args) -> QuadrupedConfig:
                                                  0),
                       warmup_gait_frac=getattr(args, "warmup_gait_frac",
                                                0.5),
-                      det_rollout_frac=getattr(args, "det_frac", 0.0)),
+                      det_rollout_frac=getattr(args, "det_frac", 0.0),
+                      alpha_anneal_steps=getattr(args, "alpha_anneal_steps",
+                                                 0),
+                      alpha_final=getattr(args, "alpha_final", 0.05)),
         sensors=SensorConfig(
             dis=bool(args.sensor_dis), motor=args.sensor_motor,
             imu=args.sensor_imu, contact=bool(args.sensor_contact),

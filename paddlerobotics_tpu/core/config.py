@@ -316,6 +316,14 @@ class SACConfig:
     # reference's fixed alpha, sac.py:45)
     auto_alpha: bool = False
     alpha_lr: float = 3e-4
+    # Linear entropy anneal: alpha -> alpha_final over
+    # alpha_anneal_steps env steps (0 = reference fixed alpha). The
+    # round-3 uphill-slope train trace wanders under the high-entropy
+    # sample-efficiency schedule (docs/task_matrix.md); annealing the
+    # exploration temperature late in training is the measured arm for
+    # settling it. Mutually exclusive with auto_alpha.
+    alpha_final: float = 0.05
+    alpha_anneal_steps: int = 0
     actor_lr: float = 3e-4
     critic_lr: float = 3e-4
     batch_size: int = 256
@@ -383,6 +391,12 @@ class ESConfig:
     # prior is a nominal open-loop prior — the policy, conditioned on
     # dynamic_vec, owns the randomization (docs/dr_study.md addendum 2).
     es_nominal_dyn: bool = True
+    # DR draw scale for ES fitness when es_nominal_dyn is on: 0.0 =
+    # exactly nominal (the shipped round-3 recipe). Setting it to the
+    # curriculum floor (e.g. dr_scale_start) evaluates the gait prior
+    # under mild randomization — the "robustified prior" arm of
+    # docs/dr_study.md (round-4 measurement).
+    es_dyn_scale: float = 0.0
     num_params: int = 12
     # Envs for ES population rollouts. The reference evaluates each
     # candidate with ONE serial 400-step episode (run_EStrain_episode,

@@ -338,11 +338,12 @@ class ETGRLTrainer:
         cand = jnp.repeat(jnp.arange(P), B // P, total_repeat_length=B)
         w_env = jnp.moveaxis(etg_w_pop[cand], 0, -1)   # (3,H,B)
         b_env = jnp.moveaxis(etg_b_pop[cand], 0, -1)   # (3,B)
-        # dr_scale=0 == exactly nominal dynamics (the round-3 curriculum
-        # semantics) — see ESConfig.es_nominal_dyn for why ES fitness
-        # must not be evaluated under random draws
-        dr0 = (0.0 if (self.cfg.es.es_nominal_dyn
-                       and self.cfg.random.random_dynamics) else None)
+        # dr_scale=es_dyn_scale (default 0 == exactly nominal dynamics,
+        # the round-3 curriculum semantics) — see ESConfig.es_nominal_dyn
+        # for why ES fitness must not ride the training draws
+        dr0 = (self.cfg.es.es_dyn_scale
+               if (self.cfg.es.es_nominal_dyn
+                   and self.cfg.random.random_dynamics) else None)
         state, obs = self.es_env.reset(rng, etg_w=w_env, etg_b=b_env,
                                        dr_scale=dr0)
         sub = jnp.arange(P) * (B // P)                 # buffer sub-sample
@@ -447,6 +448,11 @@ class ETGRLTrainer:
         es_gen = 0
         reset_flag = 0
 
+        anneal = cfg.sac.alpha_anneal_steps
+        if anneal > 0:
+            assert not cfg.sac.auto_alpha, \
+                "alpha_anneal_steps and auto_alpha are mutually exclusive"
+
         rcfg = cfg.random
         dr_adaptive = rcfg.random_dynamics and rcfg.dr_adaptive
         dr_curr = (rcfg.random_dynamics and rcfg.dr_curriculum_steps > 0
@@ -458,6 +464,12 @@ class ETGRLTrainer:
 
         while total_steps < max_steps:
             warm = total_steps >= cfg.sac.warmup_steps
+            if anneal > 0:
+                frac = min(1.0, total_steps / anneal)
+                a_now = cfg.sac.alpha + frac * (cfg.sac.alpha_final -
+                                                cfg.sac.alpha)
+                carry = carry._replace(sac_state=carry.sac_state._replace(
+                    log_alpha=jnp.asarray(jnp.log(a_now), jnp.float32)))
             if dr_curr:
                 frac = min(1.0, total_steps / rcfg.dr_curriculum_steps)
                 scale = rcfg.dr_scale_start + frac * (
@@ -593,8 +605,9 @@ class ETGRLTrainer:
 
     def _es_baseline(self, carry, w, b):
         """Current-gait baseline episode (train.py:395)."""
-        dr0 = (0.0 if (self.cfg.es.es_nominal_dyn
-                       and self.cfg.random.random_dynamics) else None)
+        dr0 = (self.cfg.es.es_dyn_scale
+               if (self.cfg.es.es_nominal_dyn
+                   and self.cfg.random.random_dynamics) else None)
         ret, steps, _ = self.evaluate(
             carry.sac_state.actor_params, w, b, self.cfg.es.es_episode_len,
             dr_scale=dr0)

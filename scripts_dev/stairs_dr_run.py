@@ -39,8 +39,11 @@ B = 4096
 BUDGET = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000_000
 SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 # optional 4th arg "reset": periodic critic reset against the
-# high-reuse late decay (seed-2 run peaked 0.87 @110M → 0.67 final)
+# high-reuse late decay (seed-2 run peaked 0.87 @110M → 0.67 final);
+# "floor": ES fitness at the curriculum floor scale 0.2 instead of
+# nominal (robustified gait prior — docs/dr_study.md round-4 arm)
 RESET = len(sys.argv) > 3 and sys.argv[3] == "reset"
+FLOOR = len(sys.argv) > 3 and sys.argv[3] == "floor"
 
 cfg = QuadrupedConfig(
     sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
@@ -50,7 +53,8 @@ cfg = QuadrupedConfig(
     # 0.2 success while ES-on reaches 0.6) — fitness evaluated at
     # NOMINAL dynamics (ESConfig.es_nominal_dyn, default) so random
     # draws cannot walk the gait prior away from walking
-    es=ESConfig(es_every_steps=400 * B),
+    es=ESConfig(es_every_steps=400 * B,
+                es_dyn_scale=0.2 if FLOOR else 0.0),
     sensors=SensorConfig(dynamic_vec=True),
     random=RandomConfig(random_dynamics=True, dynamics_scale=1.0,
                         dr_scale_start=0.2, dr_adaptive=True,
@@ -70,7 +74,7 @@ cfg = QuadrupedConfig(
 )
 
 OUT = (f"/tmp/dr_study/stairs_dr4k_s{SEED}_{BUDGET // 10**6}M"
-       + ("_reset" if RESET else ""))
+       + ("_reset" if RESET else "") + ("_floor" if FLOOR else ""))
 tr = ETGRLTrainer(cfg, num_envs=B, outdir=OUT, updates_per_step=4)
 p = etg_seeds.load_seed_param("stairstair")
 t0 = time.time()
