@@ -55,7 +55,9 @@ def build_task_config(mode: str, eval_steps: int = 600,
         sac=SACConfig(warmup_steps=preset.get("warmup_steps", 200_000),
                       ln_critic=preset.get("ln_critic", False),
                       critic_reset_steps=preset.get("critic_reset_steps", 0),
-                      det_rollout_frac=preset.get("det_frac", 0.0)),
+                      det_rollout_frac=preset.get("det_frac", 0.0),
+                      alpha_anneal_steps=preset.get("alpha_anneal_steps", 0),
+                      alpha_final=preset.get("alpha_final", 0.05)),
         reward=RewardConfig(lateral=preset.get("lateral", 0.0)),
         # ES at the wall-ratio-preserving cadence (400*B,
         # docs/update_schedule.md addendum)

@@ -424,6 +424,20 @@ class TrainConfig:
     seed: int = 0
     enable_action_filter: bool = False  # train.py --enable_action_filter
     x_noise: bool = False               # train.py --x_noise reset jitter
+    # Spawn-on-course curriculum (generalizes the reference's
+    # reset(x_noise=...) start jitter, train.py:131): on AUTORESET, the
+    # first spawn_x_frac of envs respawn at x ~ U(0, spawn_x_max) with
+    # heading ~ U(±spawn_yaw) and lateral offset ~ U(±spawn_y), placed
+    # at terrain-relative height. Round-4 balance-beam diagnosis
+    # (scripts_dev/beam_diag.py): under autoreset every episode dies at
+    # plank ENTRY (fall x ≈ 0.51 = terrain_start), so replay holds
+    # almost no on-plank experience — mid-course spawns put the course
+    # itself in the training distribution. Explicit reset() (the eval
+    # protocol and ES baselines) never spawns mid-course. 0 = off.
+    spawn_x_max: float = 0.0
+    spawn_x_frac: float = 0.5
+    spawn_yaw: float = 0.0
+    spawn_y: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -516,6 +516,33 @@ class BatchedQuadrupedEnv:
                 dxy = 0.02 * jax.random.normal(kx, (2, B))
                 pos = fresh.s.pos.at[0].add(dxy[0]).at[1].add(dxy[1])
                 fresh = fresh.replace(s=fresh.s.replace(pos=pos))
+            if cfg.train.spawn_x_max > 0:
+                # spawn-on-course curriculum (TrainConfig.spawn_x_max):
+                # respawns land mid-course with heading/lateral jitter so
+                # replay covers the course, not just the approach
+                ks = jax.random.fold_in(rng, jnp.asarray(37, jnp.uint32))
+                k1, k2, k3 = jax.random.split(ks, 3)
+                on = (jnp.arange(B) <
+                      int(cfg.train.spawn_x_frac * B)).astype(F32)
+                xs = on * jax.random.uniform(
+                    k1, (B,), minval=0.0, maxval=cfg.train.spawn_x_max)
+                ys = on * jax.random.uniform(
+                    k2, (B,), minval=-cfg.train.spawn_y,
+                    maxval=cfg.train.spawn_y)
+                pos = fresh.s.pos.at[0].add(xs).at[1].add(ys)
+                # terrain-relative spawn height
+                pos = pos.at[2].add(self.h_fn(pos[0], pos[1]))
+                quat = fresh.s.quat
+                if cfg.train.spawn_yaw > 0:
+                    psi = on * jax.random.uniform(
+                        k3, (B,), minval=-cfg.train.spawn_yaw,
+                        maxval=cfg.train.spawn_yaw)
+                    # fresh quat is identity → yaw-only rotation
+                    quat = jnp.stack([
+                        jnp.cos(psi / 2), jnp.zeros_like(psi),
+                        jnp.zeros_like(psi), jnp.sin(psi / 2)])
+                fresh = fresh.replace(s=fresh.s.replace(pos=pos,
+                                                        quat=quat))
             sel_b_last = lambda f, n: jnp.where(
                 done.reshape((1,) * (n.ndim - 1) + (-1,)), f, n)
             rb_next = jax.tree.map(sel_b_last, fresh, new_state.robot)

@@ -38,6 +38,17 @@ ARMS = {
     "lat05": dict(lateral=0.5, det_frac=0.0),
     "det": dict(lateral=0.0, det_frac=0.25),
     "latdet": dict(lateral=1.0, det_frac=0.25),
+    # entropy anneal: the sampled (training) distribution converges to
+    # the deterministic one, so the mean action must stand on its own
+    "anneal": dict(lateral=0.0, det_frac=0.0, anneal=True),
+    "lat05_anneal": dict(lateral=0.5, det_frac=0.0, anneal=True),
+    "latdet_anneal": dict(lateral=1.0, det_frac=0.25, anneal=True),
+    # spawn-on-course curriculum (round-4 diagnosis: every episode dies
+    # at plank ENTRY under autoreset, so replay holds no on-plank data)
+    "spawn": dict(lateral=0.0, det_frac=0.0, spawn=True),
+    "spawn_lat": dict(lateral=0.5, det_frac=0.0, spawn=True),
+    "spawn_lat_anneal": dict(lateral=0.5, det_frac=0.0, spawn=True,
+                             anneal=True),
 }
 
 
@@ -54,14 +65,25 @@ def run(arm: str, budget: int):
         sac=SACConfig(warmup_steps=preset.get("warmup_steps", 200_000),
                       ln_critic=preset.get("ln_critic", False),
                       critic_reset_steps=preset.get("critic_reset_steps", 0),
-                      det_rollout_frac=knobs["det_frac"]),
+                      det_rollout_frac=knobs["det_frac"],
+                      alpha_anneal_steps=(budget if knobs.get("anneal")
+                                          else 0),
+                      alpha_final=0.02),
         reward=RewardConfig(lateral=knobs["lateral"]),
         es=ESConfig(es_every_steps=400 * nb),
         # same plank geometry as the round-3 arm table (task_matrix.py)
         task=TaskConfig(task_mode="balance_beam", beam_width=0.4),
         train=TrainConfig(num_envs=nb, eval_every_steps=10**10,
-                          e_step=400, eval_episode_len=EVAL_STEPS),
+                          e_step=400, eval_episode_len=EVAL_STEPS,
+                          **(dict(spawn_x_max=3.0, spawn_x_frac=0.5,
+                                  spawn_y=0.08, spawn_yaw=0.2)
+                             if knobs.get("spawn") else {})),
     )
+    # checkpoint every 4M so the best EVAL-protocol policy over the run
+    # can be selected (the reference ships its best artifact; dr_study
+    # round-3 precedent: eval-peak checkpoint selection)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, eval_every_steps=4_000_000))
     outdir = f"/tmp/beam_arms/{arm}"
     os.makedirs(outdir, exist_ok=True)
     tr = ETGRLTrainer(cfg, num_envs=nb, outdir=outdir,
@@ -69,7 +91,7 @@ def run(arm: str, budget: int):
     seed_param = etg_seeds.load_seed_param("balance_beam")
     t0 = time.time()
     carry, (w, b, p) = tr.train(
-        max_steps=budget, chunk_steps=50, checkpoint=False,
+        max_steps=budget, chunk_steps=50, checkpoint=True,
         init_etg_param=None if seed_param is None
         else jnp.asarray(seed_param))
     wall = time.time() - t0
@@ -83,16 +105,45 @@ def run(arm: str, budget: int):
             succ.append(d["value"])
     tail = lambda xs: round(sum(xs[-8:]) / max(len(xs[-8:]), 1), 3)
 
-    ret, steps, infos = tr.evaluate(carry.sac_state.actor_params, w, b,
-                                    EVAL_STEPS)
-    steps_f = max(float(steps), 1.0)
+    def eval_params(actor_params, ww, bb):
+        ret, steps, infos = tr.evaluate(actor_params, ww, bb, EVAL_STEPS)
+        steps_f = max(float(steps), 1.0)
+        return {"eval_velx": round(float(infos["velx"]) / steps_f, 3),
+                "eval_success": round(float(infos["success"]) / steps_f, 3),
+                "eval_return": round(float(ret), 2),
+                "eval_steps": round(steps_f, 1)}
+
+    final = eval_params(carry.sac_state.actor_params, w, b)
+
+    # eval-peak checkpoint selection over the run's saved artifacts
+    import jax
+
+    from paddlerobotics_tpu.train import checkpoints
+
+    best = dict(final)
+    best_src = "final"
+    tmpl_sac = tr.sac.init(jax.random.key(0))
+    for name in sorted(os.listdir(outdir)):
+        if not name.startswith("itr_"):
+            continue
+        try:
+            restored = checkpoints.restore(os.path.join(outdir, name), {
+                "sac": tmpl_sac._asdict(),
+                "etg_w": jnp.zeros_like(w), "etg_b": jnp.zeros_like(b),
+                "etg_param": jnp.zeros_like(p)})
+        except Exception:
+            continue
+        ww, bb = tr.fit_etg(jnp.asarray(restored["etg_param"]))
+        r = eval_params(restored["sac"]["actor_params"], ww, bb)
+        if (r["eval_steps"], r["eval_velx"]) > (best["eval_steps"],
+                                                best["eval_velx"]):
+            best, best_src = r, name
+
     return {"arm": arm, **knobs, "wall_s": round(wall, 1),
             "schedule": f"B={nb}/K={ups}",
             "train_velx": tail(velx), "train_success": tail(succ),
-            "eval_velx": round(float(infos["velx"]) / steps_f, 3),
-            "eval_success": round(float(infos["success"]) / steps_f, 3),
-            "eval_return": round(float(ret), 2),
-            "eval_steps": round(steps_f, 1)}
+            **final,
+            "best": best, "best_src": best_src}
 
 
 def main():
