@@ -272,3 +272,62 @@ class NativeClipEvalServer:
         if self._handle:
             self._lib.eval_server_destroy(self._handle)
             self._handle = None
+
+
+class NativeGrpcServer:
+    """Python handle on the C++ native gRPC front
+    (runtime_cpp/grpc_server.cpp): a from-scratch HTTP/2 + HPACK server
+    speaking the REAL gRPC wire protocol for both reference methods —
+    `/grpc.ProactiveGreeting/infer` (bidi stream, lock-step like
+    infer_v3.cpp:1589-1640, backed by the native GreetingPipeline) and
+    `/evalserver.EvalServer/infer` (unary window scoring) — on one
+    port. Interoperable with grpcio clients
+    (hri.grpc_transport.GreetingGrpcClient / EvalGrpcClient);
+    tests/test_native_pipeline.py pins the interop."""
+
+    def __init__(self,
+                 detect: Callable[[np.ndarray], tuple],
+                 attend: Callable[[np.ndarray, np.ndarray], tuple],
+                 num_act: int,
+                 trigger_threshold: float = 0.8,
+                 near_field_frac: float = 0.1,
+                 cooldown_s: float = 0.0,
+                 port: int = 0,
+                 lib_path: Optional[str] = None):
+        """Callbacks exactly as NativeEvalServer (detect per frame,
+        attend(tokens (F,K,562), valid (F,K)) → (trigger, obj_scores,
+        action_id, act_scores))."""
+        self._lib = ctypes.CDLL(lib_path or _find_lib())
+        self._lib.grpc_server_create.restype = ctypes.c_void_p
+        self._lib.grpc_server_create.argtypes = [
+            _DETECT_FN, _ATTEND_EVAL_FN, ctypes.c_int, ctypes.c_float,
+            ctypes.c_float, ctypes.c_double, ctypes.c_ushort]
+        self._lib.grpc_server_port.argtypes = [ctypes.c_void_p]
+        self._lib.grpc_server_port.restype = ctypes.c_int
+        self._lib.grpc_server_destroy.argtypes = [ctypes.c_void_p]
+
+        def _attend_cb(tokens, valid, trigger, obj, act, act_scores):
+            t = np.ctypeslib.as_array(
+                tokens, (NUM_FRAMES, MAX_INSTANCES, TOKEN_DIM)).copy()
+            v = np.ctypeslib.as_array(
+                valid, (NUM_FRAMES, MAX_INSTANCES)).copy()
+            tr, ob, a, acts = attend(t, v)
+            trigger[0] = float(tr)
+            np.ctypeslib.as_array(obj, (MAX_INSTANCES,))[: len(ob)] = \
+                np.asarray(ob, np.float32)
+            act[0] = int(a)
+            acts = np.asarray(acts, np.float32)[:num_act]
+            np.ctypeslib.as_array(
+                act_scores, (num_act,))[: acts.size] = acts
+
+        self._detect_cb = _make_detect_cb(detect)
+        self._attend_cb = _ATTEND_EVAL_FN(_attend_cb)
+        self._handle = self._lib.grpc_server_create(
+            self._detect_cb, self._attend_cb, num_act,
+            trigger_threshold, near_field_frac, cooldown_s, port)
+        self.port = int(self._lib.grpc_server_port(self._handle))
+
+    def close(self):
+        if self._handle:
+            self._lib.grpc_server_destroy(self._handle)
+            self._handle = None

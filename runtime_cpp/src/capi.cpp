@@ -2,10 +2,13 @@
 // into the native pipeline. The reference links libpaddle_fluid
 // directly (jetson/CMakeLists.txt); here the engine stays out-of-
 // process-agnostic: callbacks in, decisions out.
+#include <atomic>
+#include <chrono>
 #include <cstring>
 #include <memory>
 
 #include "serving/eval_server.hpp"
+#include "serving/grpc_server.hpp"
 #include "serving/pipeline.hpp"
 #include "serving/stream_server.hpp"
 
@@ -244,6 +247,87 @@ void eval_server_destroy(void* handle) {
   auto* s = static_cast<EvalServer*>(handle);
   s->Stop();
   delete s;
+}
+
+// --- native gRPC front (grpc_server.hpp) -------------------------------------
+// Real gRPC/HTTP/2 wire protocol serving BOTH reference methods
+// (/grpc.ProactiveGreeting/infer bidi + /evalserver.EvalServer/infer
+// unary) from one port, in front of a GreetingPipeline (lock-step
+// Read/Write like infer_v3.cpp:1589-1640) and an eval scorer.
+namespace {
+
+struct GrpcHost {
+  std::unique_ptr<GreetingPipeline> pipeline;
+  std::unique_ptr<EvalServer> eval;   // ScoreWindow only — never Start()ed
+  std::unique_ptr<GrpcServer> server;
+  std::atomic<long> next_frame{0};
+};
+
+}  // namespace
+
+void* grpc_server_create(DetectFn detect, AttendEvalFn attend,
+                         int num_act, float trigger_threshold,
+                         float near_field_frac, double cooldown_s,
+                         unsigned short port) {
+  auto* h = new GrpcHost;
+  auto backend =
+      std::make_shared<EvalCallbackBackend>(detect, attend, num_act);
+  PipelineConfig pcfg;
+  pcfg.trigger_threshold = trigger_threshold;
+  pcfg.near_field_frac = near_field_frac;
+  pcfg.cooldown_s = cooldown_s;
+  h->pipeline = std::make_unique<GreetingPipeline>(pcfg, backend);
+  h->pipeline->Start();
+  EvalConfig ecfg;
+  ecfg.trigger_threshold = trigger_threshold;
+  ecfg.near_field_frac = near_field_frac;
+  h->eval = std::make_unique<EvalServer>(
+      backend, std::vector<MultimodalAction>{}, ecfg, 0);
+
+  GrpcServer::GreetFn greet = [h](std::vector<float> pixels,
+                                  int32_t lag_ms,
+                                  const std::string& /*wakeup*/) {
+    RawFrame f;
+    const long fid = h->next_frame.fetch_add(1);
+    f.frame_id = fid;
+    f.timestamp =
+        std::chrono::duration<double>(
+            std::chrono::steady_clock::now().time_since_epoch())
+            .count() -
+        lag_ms / 1000.0;
+    f.pixels = std::move(pixels);
+    h->pipeline->SubmitFrame(std::move(f));
+    // ControllerLoop only attends once kNumFrames are windowed —
+    // respond like hri/serving.py while the window fills.
+    if (fid + 1 < static_cast<long>(kNumFrames)) {
+      auto d = h->pipeline->decisions().PopFor(
+          std::chrono::milliseconds(50));
+      return d ? d->ToJson({})
+               : std::string(
+                     "{\"triggered\":false,\"reason\":\"window_filling\"}");
+    }
+    auto d = h->pipeline->decisions().PopFor(
+        std::chrono::milliseconds(120000));
+    return d ? d->ToJson({}) : std::string("{}");
+  };
+  GrpcServer::EvalFn eval = [h](std::vector<RawFrame> frames) {
+    return h->eval->ScoreWindow(frames);
+  };
+  h->server = std::make_unique<GrpcServer>(std::move(greet),
+                                           std::move(eval), port);
+  h->server->Start();
+  return h;
+}
+
+int grpc_server_port(void* handle) {
+  return static_cast<GrpcHost*>(handle)->server->port();
+}
+
+void grpc_server_destroy(void* handle) {
+  auto* h = static_cast<GrpcHost*>(handle);
+  h->server->Stop();
+  h->pipeline->Stop();
+  delete h;
 }
 
 }  // extern "C"

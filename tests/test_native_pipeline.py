@@ -205,3 +205,60 @@ def test_clip_eval_server_r2plus1d_loop():
         if client is not None:
             client.close()
         server.close()
+
+
+def test_native_grpc_server_interop_with_grpcio():
+    """grpcio client ↔ the from-scratch C++ gRPC/HTTP/2 server
+    (runtime_cpp/grpc_server.cpp): REAL wire protocol on both reference
+    methods — the greeting bidi stream and the unary eval — proving the
+    native front speaks what grpc C-core/grpcio emit (HPACK incl.
+    Huffman, flow control, trailers)."""
+    pytest.importorskip("grpc")
+    from paddlerobotics_tpu.hri.grpc_transport import (EvalGrpcClient,
+                                                       GreetingGrpcClient)
+    from paddlerobotics_tpu.hri.native_pipeline import NativeGrpcServer
+
+    def detect(img):
+        boxes = np.array([[100, 20, 200, 380]], np.float32)
+        return (boxes, np.array([0.9], np.float32),
+                np.full((1, 562), float(img[0, 0, 0]), np.float32),
+                np.array([1], np.int32))
+
+    def attend(tokens, valid):
+        m = float(tokens[valid > 0].mean()) if (valid > 0).any() else 0.0
+        acts = np.array([0.05, 0.15, 0.6, 0.2], np.float32)
+        return m, np.array([0.8], np.float32), 2, acts
+
+    server = NativeGrpcServer(detect, attend, num_act=4,
+                              trigger_threshold=0.5)
+    greet_client = eval_client = None
+    try:
+        assert server.port > 0
+        # --- bidi greeting stream (lock-step, infer_v3.cpp:1589-1640)
+        greet_client = GreetingGrpcClient(f"127.0.0.1:{server.port}",
+                                          timeout=60)
+        hi = np.full((416, 416, 3), 0.9, np.float32)
+        reqs = [greet_client.video_request(i, hi, lag_ms=12)
+                for i in range(12)]
+        outs = list(greet_client.infer(iter(reqs)))
+        assert len(outs) == 12
+        # the pipeline attends once 10 frames are windowed
+        # (infer_v3.cpp OB_WINDOW_LEN); earlier responses mirror the
+        # python service's window_filling
+        assert outs[0]["reason"] == "window_filling"
+        assert outs[9]["triggered"] is True
+        assert outs[9]["trigger_score"] == pytest.approx(0.9, abs=1e-4)
+        assert outs[9]["action_id"] == 2
+        # --- unary eval on the SAME port (eval_server.proto)
+        eval_client = EvalGrpcClient(f"127.0.0.1:{server.port}",
+                                     timeout=60)
+        out = eval_client.infer([hi] * 4)
+        assert out["trigger_pred"] == pytest.approx(0.9, abs=1e-4)
+        assert out["nullact_id"] == 2
+        assert out["response"]["triggered"] is True
+    finally:
+        if greet_client is not None:
+            greet_client.close()
+        if eval_client is not None:
+            eval_client.close()
+        server.close()
