@@ -58,13 +58,23 @@ def build_task_config(mode: str, eval_steps: int = 600,
                       det_rollout_frac=preset.get("det_frac", 0.0),
                       alpha_anneal_steps=preset.get("alpha_anneal_steps", 0),
                       alpha_final=preset.get("alpha_final", 0.05)),
-        reward=RewardConfig(lateral=preset.get("lateral", 0.0)),
+        reward=RewardConfig(lateral=preset.get("lateral", 0.0),
+                            vel_d=preset.get("vel_d", 0.5)),
         # ES at the wall-ratio-preserving cadence (400*B,
         # docs/update_schedule.md addendum)
         es=ESConfig(es_every_steps=400 * nb),
         task=TaskConfig(task_mode=mode, **task_kw),
-        train=TrainConfig(num_envs=nb, eval_every_steps=10**10,
-                          e_step=400, eval_episode_len=eval_steps),
+        train=TrainConfig(num_envs=nb,
+                          eval_every_steps=(4_000_000
+                                            if preset.get("keep_best_eval")
+                                            else 10**10),
+                          e_step=400, eval_episode_len=eval_steps,
+                          spawn_x_max=preset.get("spawn_x_max", 0.0),
+                          spawn_x_frac=preset.get("spawn_x_frac", 0.5),
+                          spawn_y=preset.get("spawn_y", 0.0),
+                          spawn_yaw=preset.get("spawn_yaw", 0.0),
+                          keep_best_eval=bool(
+                              preset.get("keep_best_eval", 0))),
     )
     return cfg, nb, ups
 
@@ -118,9 +128,13 @@ def run_task(mode: str, root: str, train: bool, budget: int,
         use_pallas=jax.default_backend() == "tpu", overrides=overrides)
     outdir = os.path.join(root, mode)
     os.makedirs(outdir, exist_ok=True)
+    from paddlerobotics_tpu.envs.registry import TASK_PRESETS
+    preset = dict(TASK_PRESETS.get(mode, {}))
+    preset.update(overrides or {})
     trainer = ETGRLTrainer(cfg, num_envs=nb, outdir=outdir,
                            updates_per_step=ups)
-    seed_param = etg_seeds.load_seed_param(mode)
+    seed_param = (None if preset.get("ETG_path") == "None"
+                  else etg_seeds.load_seed_param(mode))
     row = {"task": mode,
            "schedule": f"B={nb}/K={ups}"
                        + ("/LN" if cfg.sac.ln_critic else "")

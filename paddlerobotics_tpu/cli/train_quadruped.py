@@ -155,6 +155,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "gait (small-noise residual) instead of uniform "
                         "random during warmup, so early replay contains "
                         "walking transitions (0 = all-random warmup)")
+    p.add_argument("--spawn_x_max", type=float, default=0.0,
+                   help="spawn-on-course curriculum: autoreset respawns "
+                        "a slice of envs at x~U(0,max) on the course "
+                        "(TrainConfig.spawn_x_max; balance-beam preset)")
+    p.add_argument("--spawn_x_frac", type=float, default=0.5)
+    p.add_argument("--spawn_y", type=float, default=0.0)
+    p.add_argument("--spawn_yaw", type=float, default=0.0)
+    p.add_argument("--keep_best_eval", type=int, default=0,
+                   help="return the eval-peak policy from training "
+                        "instead of the final step's (the reference "
+                        "ships its best eval-window artifact)")
     p.add_argument("--alpha_anneal_steps", type=int, default=0,
                    help="linearly anneal SAC alpha to --alpha_final "
                         "over N env steps (0 = reference fixed alpha)")
@@ -227,7 +238,13 @@ def config_from_args(args) -> QuadrupedConfig:
                           num_envs=args.num_envs, seed=args.seed,
                           enable_action_filter=bool(
                               args.enable_action_filter),
-                          x_noise=bool(args.x_noise)),
+                          x_noise=bool(args.x_noise),
+                          spawn_x_max=getattr(args, "spawn_x_max", 0.0),
+                          spawn_x_frac=getattr(args, "spawn_x_frac", 0.5),
+                          spawn_y=getattr(args, "spawn_y", 0.0),
+                          spawn_yaw=getattr(args, "spawn_yaw", 0.0),
+                          keep_best_eval=bool(
+                              getattr(args, "keep_best_eval", 0))),
     )
 
 

@@ -438,6 +438,14 @@ class TrainConfig:
     spawn_x_frac: float = 0.5
     spawn_yaw: float = 0.0
     spawn_y: float = 0.0
+    # Eval-peak artifact selection: track the best deterministic-eval
+    # (return, survival) seen at the eval windows and return THAT
+    # policy from train() instead of the final step's. The reference
+    # checkpoints every eval window and ships its best artifact
+    # (train.py:386-390, 'well-trained model'); under late-training
+    # decay (docs/dr_study.md; balance beam round-4) this makes the
+    # shipped preset self-contained.
+    keep_best_eval: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,14 +31,29 @@ TASK_PRESETS: dict = {
     # policy keeps hardening past the 20M mark on the two tasks whose
     # mean-action policy still falls mid-course there.
     "stairstair": dict(critic_reset_steps=5_000_000),
-    # the reference's own balance-beam workflow narrows the stance with
-    # step_y (README.md:65 "for balance beam task") so the feet track
-    # the plank centerline; 0.05 is the golden-trace stance. The 0.4 m
-    # plank is the docs/task_matrix.md geometry (now also the CLI
-    # default via this preset). lateral/det_frac attack the round-3
-    # mean-action drift (scripts_dev/beam_arms.py).
-    "balance_beam": dict(critic_reset_steps=5_000_000, step_y=0.05,
-                         beam_width=0.4),
+    # Balance beam — the round-4 recipe that closes the deterministic
+    # 600-step eval (scripts_dev/beam_arms.py arm psl_v03_noreset:
+    # eval 600/600 steps, success 0.988, velx 0.80): golden stance
+    # step_y=0.05 on the 0.4 m matrix plank, NO ETG seed (the shipped
+    # beam seed falls open-loop in 14 steps under current physics while
+    # the default prior walks the plank 345 steps), spawn-on-course
+    # curriculum (autoreset respawns mid-plank with heading/lateral
+    # jitter — without it every episode dies at plank ENTRY and replay
+    # holds no on-plank data), mild centerline shaping, vel_d=0.3 (the
+    # progress reward saturates at 2·vel_d; sprinting kills on the
+    # plank), NO critic reset (each 5M reset destroyed the survival
+    # value structure — every reset-arm peaked at an early checkpoint
+    # then decayed), and eval-peak artifact selection against the
+    # remaining late decay.
+    # Schedule: sample-efficiency B=1024/K=16 + LayerNorm critic — the
+    # arm whose FINAL policy (no checkpoint selection needed) runs
+    # 600/600 at 0.985 success / 0.75 m/s; its eval-peak reaches
+    # 0.993 / 1.07 m/s (arm table in docs/task_matrix.md).
+    "balance_beam": dict(step_y=0.05, beam_width=0.4, lateral=0.5,
+                         vel_d=0.3, ETG_path="None", spawn_x_max=3.0,
+                         spawn_y=0.08, spawn_yaw=0.2, keep_best_eval=1,
+                         num_envs=1024, updates_per_step=16,
+                         ln_critic=True),
 }
 
 

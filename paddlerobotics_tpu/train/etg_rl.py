@@ -447,6 +447,9 @@ class ETGRLTrainer:
         es_flag = 0
         es_gen = 0
         reset_flag = 0
+        # eval-peak artifact tracking (TrainConfig.keep_best_eval)
+        best_key = (-jnp.inf, -jnp.inf)
+        best_snap = None
 
         anneal = cfg.sac.alpha_anneal_steps
         if anneal > 0:
@@ -525,6 +528,12 @@ class ETGRLTrainer:
                                        float(avg_ret), total_steps)
                 self.logger.add_scalar("eval/episode_step",
                                        float(avg_steps), total_steps)
+                if tcfg.keep_best_eval:
+                    key = (float(avg_steps), float(avg_ret))
+                    if key > best_key:
+                        best_key = key
+                        best_snap = (carry.sac_state, w, b,
+                                     etg_best_param, total_steps)
                 if e_step < tcfg.e_step_max:
                     e_step += tcfg.e_step_growth
                 if checkpoint:
@@ -574,6 +583,15 @@ class ETGRLTrainer:
                     env_state=self._set_etg(carry.env_state, w_env, b_env))
                 carry = carry._replace(rng=rng_host)
 
+        if tcfg.keep_best_eval and best_snap is not None:
+            # final eval-window check so the last policy competes too
+            avg_ret, avg_steps, _ = self.evaluate(
+                carry.sac_state.actor_params, w, b, tcfg.eval_episode_len)
+            if (float(avg_steps), float(avg_ret)) < best_key:
+                sac_best, w, b, etg_best_param, at = best_snap
+                carry = carry._replace(sac_state=sac_best)
+                self.logger.add_scalar("train/best_eval_restored_from",
+                                       float(at), total_steps)
         return carry, (w, b, etg_best_param)
 
     def _place_on_mesh(self, carry: TrainCarry) -> TrainCarry:

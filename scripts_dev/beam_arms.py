@@ -49,27 +49,62 @@ ARMS = {
     "spawn_lat": dict(lateral=0.5, det_frac=0.0, spawn=True),
     "spawn_lat_anneal": dict(lateral=0.5, det_frac=0.0, spawn=True,
                              anneal=True),
+    # drop the shipped beam seed: measured open-loop it falls in 14
+    # steps even on FLAT ground while the default prior walks the
+    # 0.4 m plank for 345/400 steps — the seed poisons warmup replay
+    # and the ES start (round-4 probe, scripts_dev notes)
+    "prior_spawn_lat": dict(lateral=0.5, det_frac=0.0, spawn=True,
+                            no_seed=True),
+    # + cap the speed incentive: torso reward saturates at
+    # 2·vel_d m/s — sprinting is what kills on the plank
+    "prior_spawn_lat_v03": dict(lateral=0.5, det_frac=0.0, spawn=True,
+                                no_seed=True, vel_d=0.3),
+    "prior_lat_v03": dict(lateral=0.5, det_frac=0.0, no_seed=True,
+                          vel_d=0.3),
+    # every arm so far peaks at an early checkpoint then decays —
+    # pattern-matches the dr_study critic-reset-under-DR negative
+    # result: drop the preset's 5M critic reset
+    "psl_v03_noreset": dict(lateral=0.5, det_frac=0.0, spawn=True,
+                            no_seed=True, vel_d=0.3, no_reset=True),
+    # sample-efficiency schedule (round-3's strongest stochastic beam)
+    "psl_v03_ln": dict(lateral=0.5, det_frac=0.0, spawn=True,
+                       no_seed=True, vel_d=0.3, no_reset=True,
+                       ln=True),
+    # narrow track: step_y=0.02 walks the plank OPEN-LOOP for 575/600
+    # steps (round-4 probe) — the reference's own step_y workflow
+    # (README.md:65), just narrower than the 0.05 golden stance
+    "sy02": dict(lateral=0.5, det_frac=0.0, spawn=True, no_seed=True,
+                 vel_d=0.3, no_reset=True, step_y=0.02),
+    "sy02_plain": dict(lateral=0.0, det_frac=0.0, no_seed=True,
+                       step_y=0.02),
+    "sy02_lat": dict(lateral=0.5, det_frac=0.0, no_seed=True,
+                     vel_d=0.3, no_reset=True, step_y=0.02),
 }
 
 
 def run(arm: str, budget: int):
     knobs = ARMS[arm]
     preset = TASK_PRESETS.get("balance_beam", {})
-    nb = preset.get("num_envs", B)
-    ups = preset.get("updates_per_step", 4)
+    nb = 1024 if knobs.get("ln") else preset.get("num_envs", B)
+    ups = 16 if knobs.get("ln") else preset.get("updates_per_step", 4)
     cfg = QuadrupedConfig(
         sim=dataclasses.replace(QuadrupedConfig().sim, use_pallas=True),
         etg=dataclasses.replace(
             QuadrupedConfig().etg,
-            step_y=preset.get("step_y", QuadrupedConfig().etg.step_y)),
+            step_y=knobs.get("step_y",
+                             preset.get("step_y",
+                                        QuadrupedConfig().etg.step_y))),
         sac=SACConfig(warmup_steps=preset.get("warmup_steps", 200_000),
-                      ln_critic=preset.get("ln_critic", False),
-                      critic_reset_steps=preset.get("critic_reset_steps", 0),
+                      ln_critic=knobs.get("ln", False),
+                      critic_reset_steps=(0 if knobs.get("no_reset") else
+                                          preset.get("critic_reset_steps",
+                                                     0)),
                       det_rollout_frac=knobs["det_frac"],
                       alpha_anneal_steps=(budget if knobs.get("anneal")
                                           else 0),
                       alpha_final=0.02),
-        reward=RewardConfig(lateral=knobs["lateral"]),
+        reward=RewardConfig(lateral=knobs["lateral"],
+                            vel_d=knobs.get("vel_d", 0.5)),
         es=ESConfig(es_every_steps=400 * nb),
         # same plank geometry as the round-3 arm table (task_matrix.py)
         task=TaskConfig(task_mode="balance_beam", beam_width=0.4),
@@ -88,7 +123,8 @@ def run(arm: str, budget: int):
     os.makedirs(outdir, exist_ok=True)
     tr = ETGRLTrainer(cfg, num_envs=nb, outdir=outdir,
                       updates_per_step=ups)
-    seed_param = etg_seeds.load_seed_param("balance_beam")
+    seed_param = (None if knobs.get("no_seed")
+                  else etg_seeds.load_seed_param("balance_beam"))
     t0 = time.time()
     carry, (w, b, p) = tr.train(
         max_steps=budget, chunk_steps=50, checkpoint=True,
