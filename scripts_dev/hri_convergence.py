@@ -213,8 +213,9 @@ def native_crosscheck(cfg, state, ev, scores_direct, n_check: int = 48):
         nk = int(keep.sum())
         boxes = np.tile(np.array([[100, 20, 200, 380]], np.float32),
                         (nk, 1))
+        # 4th output = per-instance VALID flags (capi DetectFn)
         return (boxes, np.full(nk, 0.9, np.float32), feats,
-                np.zeros(nk, np.int32))
+                np.ones(nk, np.int32))
 
     def attend(tokens, valid):
         trig, obj, acts = attend_fn(jnp.asarray(tokens),
