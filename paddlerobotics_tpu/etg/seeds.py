@@ -13,6 +13,16 @@ Seeds are shipped only for tasks where they are load-bearing
 (docs/task_matrix.md: the uphill modes' flat-ground ETG prior is the
 cold-start limiter; stairs benefits under full-range DR). Tasks without
 a shipped seed start from the zero-offset prior exactly as before.
+
+Round-4 caveat: these seeds are ES starting points / replay
+bootstraps, NOT open-loop-stable gaits — measured open-loop under the
+current (round-3 latency-exact) physics every seed falls within 12–42
+steps. That is fine where the seed's role is to bias exploration
+(uphill, stairs: measurably load-bearing), but it poisoned the
+balance-beam warmup, where the DEFAULT prior is the better bootstrap —
+the beam preset therefore sets ``ETG_path='None'`` and the shipped
+``balance_beam.npz`` is retained only for provenance
+(docs/task_matrix.md "round-4 close").
 """
 
 from __future__ import annotations

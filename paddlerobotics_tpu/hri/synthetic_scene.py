@@ -66,16 +66,24 @@ class ScenePrototypes:
 def _pos_emb_np(bbox: np.ndarray) -> np.ndarray:
     """50-d sin pos-emb, numpy mirror of hri/utils.get_bbox_pos_emb
     (same formula; kept in numpy so generation never touches the
-    device)."""
-    xmin, ymin, xmax, ymax = bbox
-    sx = lambda v: (v - IM / 2) / (IM / 2) * (np.pi / 2)
-    sy = lambda v: (v - IM / 2) / (IM / 2) * (np.pi / 2)
-    tx = np.linspace(0.0, 1.0, 5)
-    x_pos = np.sin(sx(xmin) + (sx(xmax) - sx(xmin)) * tx)
-    y_pos = np.sin(sy(ymin) + (sy(ymax) - sy(ymin)) * tx)
-    x_emb = np.broadcast_to(x_pos[None, :], (5, 5))
-    y_emb = np.broadcast_to(y_pos[:, None], (5, 5))
-    return np.stack([y_emb, x_emb]).reshape(-1).astype(np.float32)
+    device). bbox (..., 4) xyxy → (..., 50)."""
+    bbox = np.asarray(bbox, np.float32)
+    xmin, ymin, xmax, ymax = (bbox[..., 0], bbox[..., 1],
+                              bbox[..., 2], bbox[..., 3])
+    s = lambda v: (v - IM / 2) / (IM / 2) * (np.pi / 2)
+    tx = np.linspace(0.0, 1.0, 5, dtype=np.float32)
+    x_pos = np.sin(s(xmin)[..., None] +
+                   (s(xmax) - s(xmin))[..., None] * tx)     # (...,5)
+    y_pos = np.sin(s(ymin)[..., None] +
+                   (s(ymax) - s(ymin))[..., None] * tx)
+    x_emb = np.broadcast_to(x_pos[..., None, :],
+                            x_pos.shape[:-1] + (5, 5))
+    y_emb = np.broadcast_to(y_pos[..., :, None],
+                            y_pos.shape[:-1] + (5, 5))
+    out = np.concatenate([y_emb.reshape(*y_emb.shape[:-2], 25),
+                          x_emb.reshape(*x_emb.shape[:-2], 25)],
+                         axis=-1)
+    return out.astype(np.float32)
 
 
 def _actor_track(rng, F: int):
@@ -99,81 +107,118 @@ def _actor_track(rng, F: int):
             "band": int(rng.randint(BANDS))}
 
 
-def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
-                     protos: ScenePrototypes | None = None) -> dict:
-    """n training windows shaped for ctrl_cfg.inputs_type.
+def alloc_buffers(n: int, ctrl_cfg) -> dict:
+    """Preallocate one reusable output-batch buffer set.
 
-    Returns the trainer batch dict (leading axis n). All arrays numpy;
-    callers jnp.asarray / shard as needed.
-    """
+    Fresh page-faulted writes are pathologically slow on some hosts
+    (~150 µs/fault measured here), so steady-state generation must
+    never allocate batch-sized arrays — pass the returned dict back to
+    :func:`generate_windows` as ``out=`` to reuse it."""
     F, K = ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame
     crop = ctrl_cfg.inputs_type == "inst_crop"
     if ctrl_cfg.inputs_type not in ("visual_token", "inst_crop"):
         raise ValueError(
             f"synthetic scenes support visual_token / inst_crop, got "
             f"{ctrl_cfg.inputs_type!r}")
+    T = F * K
+    frame_ids = np.tile(np.repeat(np.arange(1, F + 1), K), (n, 1))
+    out = {"frame_ids": frame_ids.astype(np.int64),
+           "padding_mask": np.zeros((n, T), np.float32),
+           "has_act": np.zeros((n, F), np.float32),
+           "act_ids": np.zeros((n, F), np.int64),
+           "is_obj": np.zeros((n, T), np.float32)}
+    if crop:
+        out["inst_crop_feat"] = np.zeros((n, T, 1280), np.float32)
+        out["inst_cls"] = np.zeros((n, T, ctrl_cfg.inst_cls_dim),
+                                   np.float32)
+        out["inst_pos_emb"] = np.zeros((n, T, 50), np.float32)
+    else:
+        # 562-d serving token layout: [512 appearance | 50 pos-emb],
+        # written in place (a final concatenate would re-fault the
+        # whole batch every call)
+        out["visual_tokens"] = np.zeros((n, T, 562), np.float32)
+    # touch every page once so reuse never faults
+    for k, a in out.items():
+        if k != "frame_ids":
+            a.fill(0)
+    return out
+
+
+def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
+                     protos: ScenePrototypes | None = None,
+                     out: dict | None = None) -> dict:
+    """n training windows shaped for ctrl_cfg.inputs_type.
+
+    Returns the trainer batch dict (leading axis n). All arrays numpy;
+    callers jnp.asarray / shard as needed. Pass ``out`` (from
+    :func:`alloc_buffers`) to generate in place with zero allocation —
+    the caller must finish consuming (e.g. device-put) the previous
+    contents first.
+    """
+    F, K = ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame
+    crop = ctrl_cfg.inputs_type == "inst_crop"
     app_dim = 1280 if crop else 512
     protos = protos or ScenePrototypes(app_dim)
-    T = F * K
 
-    toks = np.zeros((n, T, app_dim), np.float32)
-    cls = np.zeros((n, T, ctrl_cfg.inst_cls_dim), np.float32)
-    pos = np.zeros((n, T, 50), np.float32)
-    pad = np.zeros((n, T), np.float32)
-    has_act = np.zeros((n, F), np.float32)
-    is_obj = np.zeros((n, T), np.float32)
-    act_ids = np.zeros((n, F), np.int64)
+    if out is None:
+        out = alloc_buffers(n, ctrl_cfg)
+    else:
+        for k, a in out.items():
+            if k != "frame_ids":
+                a.fill(0)
+    pad, has_act, is_obj, act_ids = (out["padding_mask"], out["has_act"],
+                                     out["is_obj"], out["act_ids"])
+    if crop:
+        toks, cls, pos = (out["inst_crop_feat"], out["inst_cls"],
+                          out["inst_pos_emb"])
+    else:
+        vt = out["visual_tokens"]
+        toks, pos, cls = vt[..., :app_dim], vt[..., app_dim:], None
 
+    t_idx = np.arange(F)
     for w in range(n):
         n_act = rng.randint(0, 4)
         actors = [_actor_track(rng, F) for _ in range(n_act)]
         n_clut = rng.randint(1, 6)
-        for t in range(F):
-            slot = 0
-            for a in actors:
-                i = t * K + slot
-                h = a["heights"][t]
-                wd = h * 0.45
-                bbox = np.array([a["cxs"][t] - wd / 2, IM - 40 - h,
-                                 a["cxs"][t] + wd / 2, IM - 40.0])
-                app = (protos.person + 0.6 * protos.bands[a["band"]]
-                       + (0.6 * protos.facing if a["facing"] else 0.0)
-                       + 0.25 * rng.randn(app_dim)).astype(np.float32)
-                toks[w, i, :] = app
-                cls[w, i, 0] = 1.0 + 0.1 * rng.randn()   # person score
-                pos[w, i] = _pos_emb_np(bbox)
-                pad[w, i] = 1.0
-                grow = (a["heights"][t] - a["heights"][max(t - 2, 0)]
-                        if t >= 2 else 0.0)
-                near = h >= NEAR_H
-                if near and grow >= GROW and a["facing"]:
-                    has_act[w, t] = 1.0
-                    is_obj[w, i] = 1.0
-                    act_ids[w, t] = 1 + a["band"] * 2 + (grow >= FAST)
-                slot += 1
-            for c in range(n_clut):
-                if slot >= K:
-                    break
-                i = t * K + slot
-                proto = protos.clutter[c % len(protos.clutter)]
-                toks[w, i] = proto + 0.25 * rng.randn(app_dim)
-                ccls = 1 + rng.randint(ctrl_cfg.inst_cls_dim - 1)
+        for slot, a in enumerate(actors):
+            i = t_idx * K + slot                    # (F,) flat indices
+            h = a["heights"]
+            wd = h * 0.45
+            bbox = np.stack([a["cxs"] - wd / 2, IM - 40 - h,
+                             a["cxs"] + wd / 2,
+                             np.full(F, IM - 40.0)], axis=-1)
+            app = (protos.person + 0.6 * protos.bands[a["band"]]
+                   + (0.6 * protos.facing if a["facing"] else 0.0)
+                   + 0.25 * rng.randn(F, app_dim)).astype(np.float32)
+            toks[w, i, :] = app
+            if cls is not None:
+                cls[w, i, 0] = 1.0 + 0.1 * rng.randn(F)  # person score
+            pos[w, i] = _pos_emb_np(bbox)
+            pad[w, i] = 1.0
+            grow = np.where(t_idx >= 2,
+                            h - h[np.maximum(t_idx - 2, 0)], 0.0)
+            trig = (h >= NEAR_H) & (grow >= GROW) & a["facing"]
+            has_act[w, trig] = 1.0
+            is_obj[w, i[trig]] = 1.0
+            act_ids[w, trig] = (1 + a["band"] * 2 +
+                                (grow[trig] >= FAST))
+        n_c = min(n_clut, K - n_act)
+        if n_c > 0:
+            slots = n_act + np.arange(n_c)
+            i = (t_idx[:, None] * K + slots[None, :]).ravel()   # (F*n_c,)
+            cprotos = np.stack([protos.clutter[c % len(protos.clutter)]
+                                for c in range(n_c)])
+            app = (np.tile(cprotos, (F, 1))
+                   + 0.25 * rng.randn(F * n_c, app_dim)).astype(np.float32)
+            toks[w, i] = app
+            if cls is not None:
+                ccls = 1 + rng.randint(ctrl_cfg.inst_cls_dim - 1,
+                                       size=F * n_c)
                 cls[w, i, ccls] = 1.0
-                cb = np.sort(rng.uniform(0, IM, 2))
-                pos[w, i] = _pos_emb_np(
-                    np.array([cb[0], cb[0], cb[1], cb[1]]))
-                pad[w, i] = 1.0
-                slot += 1
+            cb = np.sort(rng.uniform(0, IM, (F * n_c, 2)), axis=-1)
+            pos[w, i] = _pos_emb_np(
+                np.stack([cb[:, 0], cb[:, 0], cb[:, 1], cb[:, 1]],
+                         axis=-1))
+            pad[w, i] = 1.0
 
-    frame_ids = np.tile(np.repeat(np.arange(1, F + 1), K), (n, 1))
-    batch = {"frame_ids": frame_ids.astype(np.int64),
-             "padding_mask": pad, "has_act": has_act,
-             "act_ids": act_ids, "is_obj": is_obj}
-    if crop:
-        batch["inst_crop_feat"] = toks
-        batch["inst_cls"] = cls
-        batch["inst_pos_emb"] = pos
-    else:
-        # 562-d serving token layout: [512 appearance | 50 pos-emb]
-        batch["visual_tokens"] = np.concatenate([toks, pos], axis=-1)
-    return batch
+    return out

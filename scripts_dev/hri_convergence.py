@@ -50,25 +50,48 @@ def make_cfg(variant: str):
 
 
 class BatchFeeder:
-    """Host-side generation thread (the mp dataloader fleet's role,
-    data.py:244-340) so the TPU never waits on scene synthesis."""
+    """Host-side generation threads (the mp dataloader fleet's role,
+    data.py:244-340) so the TPU never waits on scene synthesis.
 
-    def __init__(self, cfg, batch: int, seed: int, depth: int = 8):
+    Batch buffers are preallocated and rotated through an explicit
+    free-list (fresh page-faulted writes cost ~150 µs/page on this
+    host — see synthetic_scene.alloc_buffers): workers generate into a
+    free buffer, the consumer device-puts it and hands it back via
+    :meth:`recycle`."""
+
+    def __init__(self, cfg, batch: int, seed: int, depth: int = 4,
+                 workers: int = 2):
         from paddlerobotics_tpu.hri import synthetic_scene as ss
         self.q = queue.Queue(maxsize=depth)
+        self.free = queue.Queue()
+        for _ in range(depth + workers):
+            self.free.put(ss.alloc_buffers(batch, cfg))
         self.stop = False
+        protos = ss.ScenePrototypes(
+            1280 if cfg.inputs_type == "inst_crop" else 512)
 
-        def work():
-            rng = np.random.RandomState(seed)
+        def work(wseed):
+            rng = np.random.RandomState(wseed)
             while not self.stop:
-                b = ss.generate_windows(rng, batch, cfg)
-                self.q.put(b)
+                try:
+                    buf = self.free.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                ss.generate_windows(rng, batch, cfg, protos=protos,
+                                    out=buf)
+                self.q.put(buf)
 
-        self.t = threading.Thread(target=work, daemon=True)
-        self.t.start()
+        self.ts = [threading.Thread(target=work, args=(seed + 1000 * i,),
+                                    daemon=True)
+                   for i in range(workers)]
+        for t in self.ts:
+            t.start()
 
     def get(self):
         return self.q.get()
+
+    def recycle(self, buf):
+        self.free.put(buf)
 
     def close(self):
         self.stop = True
@@ -112,6 +135,10 @@ def train_variant(variant: str, steps: int, batch: int, outroot: str):
         for step in range(1, steps + 1):
             b = feeder.get()
             bj = {k: jnp.asarray(v) for k, v in b.items()}
+            # host buffers may be read asynchronously by the transfer —
+            # sync before handing them back to the generator threads
+            jax.block_until_ready(bj)
+            feeder.recycle(b)
             state, aux = tr.train_step(state, bj)
             if step % 250 == 0 or step == steps:
                 scores = np.asarray(eval_scores(state.params))
