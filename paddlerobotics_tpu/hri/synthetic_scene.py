@@ -34,7 +34,12 @@ hri/utils.get_bbox_pos_emb), and the inst_crop variant emits the
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 IM = 416.0              # letterboxed frame size (infer_v3.cpp:189-228)
 NEAR_H = 170.0          # near-field apparent-height threshold (px)
@@ -222,3 +227,175 @@ def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
             pad[w, i] = 1.0
 
     return out
+
+
+# ---------------------------------------------------------------------------
+# On-device generation (JAX). The numpy generator above transfers
+# ~F·K·562·4 bytes per window per step host→device — at serving size
+# that is ~29 MB per batch-64 train step, which is the wall on a
+# remote-attached TPU. This port draws the SAME distributions with
+# jax.random so the whole feed fuses into the jitted train step and the
+# host↔device traffic disappears. The held-out eval set stays on the
+# numpy generator, so convergence doubles as a cross-generator
+# distribution check (tests/test_hri_convergence.py pins label-rule
+# equivalence and summary stats).
+
+MAX_ACTORS = 3          # rng.randint(0, 4) above
+MAX_CLUTTER = 5         # rng.randint(1, 6) above
+
+
+def device_prototypes(ctrl_cfg, seed: int = 7) -> dict:
+    """ScenePrototypes as a dict of device arrays (same seeded draws)."""
+    p = ScenePrototypes(1280 if ctrl_cfg.inputs_type == "inst_crop"
+                        else 512, seed=seed)
+    return {"person": jnp.asarray(p.person),
+            "facing": jnp.asarray(p.facing),
+            "bands": jnp.asarray(np.stack(p.bands)),
+            "clutter": jnp.asarray(np.stack(p.clutter[:MAX_CLUTTER]))}
+
+
+def _pos_emb_dev(bbox: jnp.ndarray) -> jnp.ndarray:
+    """JAX mirror of _pos_emb_np — same [y(25) | x(25)] layout."""
+    xmin, ymin, xmax, ymax = (bbox[..., 0], bbox[..., 1],
+                              bbox[..., 2], bbox[..., 3])
+    s = lambda v: (v - IM / 2) / (IM / 2) * (np.pi / 2)
+    tx = jnp.linspace(0.0, 1.0, 5)
+    x_pos = jnp.sin(s(xmin)[..., None] + (s(xmax) - s(xmin))[..., None] * tx)
+    y_pos = jnp.sin(s(ymin)[..., None] + (s(ymax) - s(ymin))[..., None] * tx)
+    x_emb = jnp.broadcast_to(x_pos[..., None, :], x_pos.shape[:-1] + (5, 5))
+    y_emb = jnp.broadcast_to(y_pos[..., :, None], y_pos.shape[:-1] + (5, 5))
+    return jnp.concatenate(
+        [y_emb.reshape(*y_emb.shape[:-2], 25),
+         x_emb.reshape(*x_emb.shape[:-2], 25)], axis=-1)
+
+
+def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, crop: bool):
+    """One window (no batch axis); vmapped by generate_windows_device."""
+    app_dim = pp["person"].shape[0]
+    t = jnp.arange(F, dtype=jnp.float32)
+    (k_na, k_act, k_anoise, k_nc, k_cnoise, k_ccls, k_cbox,
+     k_acls) = jax.random.split(key, 8)
+    n_act = jax.random.randint(k_na, (), 0, MAX_ACTORS + 1)
+
+    def actor(k):
+        kk = jax.random.split(k, 12)
+        kind = jax.random.choice(kk[0], 4,
+                                 p=jnp.array([0.4, 0.2, 0.2, 0.2]))
+        h0 = jax.random.uniform(kk[1], (), minval=60.0, maxval=150.0)
+        rate = jnp.select(
+            [kind == 0, kind == 1],
+            [jax.random.uniform(kk[2], (), minval=4.0, maxval=22.0),
+             -jax.random.uniform(kk[3], (), minval=4.0, maxval=14.0)],
+            jax.random.uniform(kk[4], (), minval=-1.5, maxval=1.5))
+        h = jnp.clip(h0 + rate * t + jax.random.normal(kk[5], (F,)),
+                     24.0, 380.0)
+        cx = jax.random.uniform(kk[6], (), minval=80.0, maxval=IM - 80.0)
+        vx = jnp.where(
+            kind == 2,
+            jax.random.uniform(kk[7], (), minval=-14.0, maxval=14.0),
+            jax.random.uniform(kk[8], (), minval=-4.0, maxval=4.0))
+        cxs = jnp.clip(cx + vx * t + jax.random.normal(kk[9], (F,)),
+                       10.0, IM - 10.0)
+        facing = jax.random.uniform(kk[10], ()) < 0.7
+        band = jax.random.randint(kk[11], (), 0, BANDS)
+        return h, cxs, facing, band
+
+    h, cxs, facing, band = jax.vmap(actor)(
+        jax.random.split(k_act, MAX_ACTORS))          # (A,F),(A,F),(A,),(A,)
+    a_active = jnp.arange(MAX_ACTORS) < n_act          # (A,)
+
+    a_base = (pp["person"] + 0.6 * pp["bands"][band]
+              + 0.6 * facing[:, None].astype(jnp.float32) * pp["facing"])
+    app = (a_base[:, None, :]
+           + 0.25 * jax.random.normal(k_anoise, (MAX_ACTORS, F, app_dim))
+           )                                           # (A,F,D)
+    wd = h * 0.45
+    bbox = jnp.stack([cxs - wd / 2, IM - 40.0 - h, cxs + wd / 2,
+                      jnp.full_like(h, IM - 40.0)], axis=-1)
+    a_pos = _pos_emb_dev(bbox)                         # (A,F,50)
+
+    grow = jnp.concatenate(
+        [jnp.zeros((MAX_ACTORS, 2)), h[:, 2:] - h[:, :-2]], axis=1)
+    trig = ((h >= NEAR_H) & (grow >= GROW)
+            & facing[:, None] & a_active[:, None])     # (A,F)
+    act_val = 1 + band[:, None] * 2 + (grow >= FAST).astype(jnp.int32)
+    act_ids = jnp.zeros((F,), jnp.int32)
+    for a in range(MAX_ACTORS):                        # slot order: last wins
+        act_ids = jnp.where(trig[a], act_val[a], act_ids)
+    has_act = trig.any(axis=0).astype(jnp.float32)
+
+    n_clut = jax.random.randint(k_nc, (), 1, MAX_CLUTTER + 1)
+    n_c = jnp.minimum(n_clut, K - n_act)
+    c_active = jnp.arange(MAX_CLUTTER) < n_c           # (C,)
+    c_app = (pp["clutter"][:, None, :]
+             + 0.25 * jax.random.normal(k_cnoise,
+                                        (MAX_CLUTTER, F, app_dim)))
+    cb = jnp.sort(jax.random.uniform(k_cbox, (MAX_CLUTTER, F, 2),
+                                     minval=0.0, maxval=IM), axis=-1)
+    c_pos = _pos_emb_dev(jnp.stack(
+        [cb[..., 0], cb[..., 0], cb[..., 1], cb[..., 1]], axis=-1))
+
+    # scatter candidates into (F, K, ·); inactive slots index K → dropped
+    a_slots = jnp.where(a_active, jnp.arange(MAX_ACTORS), K)
+    c_slots = jnp.where(c_active, n_act + jnp.arange(MAX_CLUTTER), K)
+    slots = jnp.concatenate([a_slots, c_slots])        # (A+C,)
+    cand_app = jnp.concatenate([app, c_app]).swapaxes(0, 1)   # (F,A+C,D)
+    cand_pos = jnp.concatenate([a_pos, c_pos]).swapaxes(0, 1)
+
+    ones = jnp.ones((F, MAX_ACTORS + MAX_CLUTTER))
+    pad = jnp.zeros((F, K)).at[:, slots].set(ones, mode="drop")
+    is_obj = jnp.zeros((F, K)).at[:, a_slots].set(
+        trig.T.astype(jnp.float32), mode="drop")
+
+    out = {"has_act": has_act, "act_ids": act_ids,
+           "padding_mask": pad.reshape(F * K),
+           "is_obj": is_obj.reshape(F * K)}
+    if crop:
+        a_cls = jnp.zeros((MAX_ACTORS, F, cls_dim)).at[..., 0].set(
+            1.0 + 0.1 * jax.random.normal(k_acls, (MAX_ACTORS, F)))
+        ccls_idx = 1 + jax.random.randint(k_ccls, (MAX_CLUTTER, F), 0,
+                                          cls_dim - 1)
+        c_cls = jax.nn.one_hot(ccls_idx, cls_dim)
+        cand_cls = jnp.concatenate([a_cls, c_cls]).swapaxes(0, 1)
+        feat = jnp.zeros((F, K, app_dim)).at[:, slots].set(
+            cand_app, mode="drop")
+        cls = jnp.zeros((F, K, cls_dim)).at[:, slots].set(
+            cand_cls, mode="drop")
+        pos = jnp.zeros((F, K, 50)).at[:, slots].set(cand_pos, mode="drop")
+        out["inst_crop_feat"] = feat.reshape(F * K, app_dim)
+        out["inst_cls"] = cls.reshape(F * K, cls_dim)
+        out["inst_pos_emb"] = pos.reshape(F * K, 50)
+    else:
+        cand_tok = jnp.concatenate([cand_app, cand_pos], axis=-1)
+        tok = jnp.zeros((F, K, app_dim + 50)).at[:, slots].set(
+            cand_tok, mode="drop")
+        out["visual_tokens"] = tok.reshape(F * K, app_dim + 50)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _gen_batch_device(key, n: int, static, pp):
+    F, K, cls_dim, crop = static
+    gen = functools.partial(_gen_one_device, pp=pp, F=F, K=K,
+                            cls_dim=cls_dim, crop=crop)
+    out = jax.vmap(lambda k: gen(k))(jax.random.split(key, n))
+    out["frame_ids"] = jnp.tile(
+        jnp.repeat(jnp.arange(1, F + 1), K)[None], (n, 1))
+    return out
+
+
+def generate_windows_device(key, n: int, ctrl_cfg,
+                            protos: dict | None = None) -> dict:
+    """On-device mirror of :func:`generate_windows` — same batch keys,
+    same label rule, same per-field distributions (different RNG
+    stream). Jittable/fusable: call inside a scanned train chunk so the
+    feed never leaves the device."""
+    crop = ctrl_cfg.inputs_type == "inst_crop"
+    if ctrl_cfg.inputs_type not in ("visual_token", "inst_crop"):
+        raise ValueError(
+            f"synthetic scenes support visual_token / inst_crop, got "
+            f"{ctrl_cfg.inputs_type!r}")
+    pp = protos if protos is not None else device_prototypes(ctrl_cfg)
+    static = (ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame,
+              ctrl_cfg.inst_cls_dim, crop)
+    return _gen_batch_device(key, n, static, pp)

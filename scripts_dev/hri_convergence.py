@@ -16,11 +16,10 @@ Usage: python scripts_dev/hri_convergence.py [variants=visual_token,inst_crop]
            [steps=4000] [batch=64]
 """
 
+import functools
 import json
 import os
-import queue
 import sys
-import threading
 import time
 
 import numpy as np
@@ -49,57 +48,7 @@ def make_cfg(variant: str):
                           num_heads=8, ffn_dim=2048)
 
 
-class BatchFeeder:
-    """Host-side generation threads (the mp dataloader fleet's role,
-    data.py:244-340) so the TPU never waits on scene synthesis.
-
-    Batch buffers are preallocated and rotated through an explicit
-    free-list (fresh page-faulted writes cost ~150 µs/page on this
-    host — see synthetic_scene.alloc_buffers): workers generate into a
-    free buffer, the consumer device-puts it and hands it back via
-    :meth:`recycle`."""
-
-    def __init__(self, cfg, batch: int, seed: int, depth: int = 4,
-                 workers: int = 2):
-        from paddlerobotics_tpu.hri import synthetic_scene as ss
-        self.q = queue.Queue(maxsize=depth)
-        self.free = queue.Queue()
-        for _ in range(depth + workers):
-            self.free.put(ss.alloc_buffers(batch, cfg))
-        self.stop = False
-        protos = ss.ScenePrototypes(
-            1280 if cfg.inputs_type == "inst_crop" else 512)
-
-        def work(wseed):
-            rng = np.random.RandomState(wseed)
-            while not self.stop:
-                try:
-                    buf = self.free.get(timeout=0.5)
-                except queue.Empty:
-                    continue
-                ss.generate_windows(rng, batch, cfg, protos=protos,
-                                    out=buf)
-                self.q.put(buf)
-
-        self.ts = [threading.Thread(target=work, args=(seed + 1000 * i,),
-                                    daemon=True)
-                   for i in range(workers)]
-        for t in self.ts:
-            t.start()
-
-    def get(self):
-        return self.q.get()
-
-    def recycle(self, buf):
-        self.free.put(buf)
-
-    def close(self):
-        self.stop = True
-        try:
-            while True:
-                self.q.get_nowait()
-        except queue.Empty:
-            pass
+CHUNK = 250     # train steps per device dispatch (= the eval cadence)
 
 
 def train_variant(variant: str, steps: int, batch: int, outroot: str):
@@ -128,33 +77,39 @@ def train_variant(variant: str, steps: int, batch: int, outroot: str):
                              evj["padding_mask"])
         return jax.nn.sigmoid(out["trigger_logits"][:, -1])
 
-    feeder = BatchFeeder(cfg, batch, seed=1)
+    # the feed is generated ON DEVICE inside one scanned chunk per
+    # dispatch — zero steady-state host→device traffic (the numpy
+    # generator's 29 MB/step batch transfer was the wall on the
+    # remote-attached chip; the numpy path still produces the held-out
+    # eval windows above, so convergence doubles as a cross-generator
+    # distribution check)
+    protos_dev = ss.device_prototypes(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(st, key):
+        def body(s, k):
+            b = ss.generate_windows_device(k, batch, cfg, protos_dev)
+            return tr.train_step(s, b)
+        st, auxs = jax.lax.scan(body, st,
+                                jax.random.split(key, CHUNK))
+        return st, jax.tree.map(lambda x: x[-1], auxs)
+
     t0 = time.time()
     curve = []
-    try:
-        for step in range(1, steps + 1):
-            b = feeder.get()
-            bj = {k: jnp.asarray(v) for k, v in b.items()}
-            # host buffers may be read asynchronously by the transfer —
-            # sync before handing them back to the generator threads
-            jax.block_until_ready(bj)
-            feeder.recycle(b)
-            state, aux = tr.train_step(state, bj)
-            if step % 250 == 0 or step == steps:
-                scores = np.asarray(eval_scores(state.params))
-                auc = auc_score(scores, ev_labels)
-                row = {"step": step, "loss": float(aux["loss"]),
-                       "trigger_loss": float(aux["trigger_loss"]),
-                       "act_loss": float(aux["act_loss"]),
-                       "auc": round(auc, 4),
-                       "wall_s": round(time.time() - t0, 1)}
-                curve.append(row)
-                for k, v in row.items():
-                    if k != "step":
-                        logger.add_scalar(f"train/{k}", v, step)
-                print(json.dumps({"variant": variant, **row}), flush=True)
-    finally:
-        feeder.close()
+    for step in range(CHUNK, steps + 1, CHUNK):
+        state, aux = train_chunk(state, jax.random.key(step))
+        scores = np.asarray(eval_scores(state.params))
+        auc = auc_score(scores, ev_labels)
+        row = {"step": step, "loss": float(aux["loss"]),
+               "trigger_loss": float(aux["trigger_loss"]),
+               "act_loss": float(aux["act_loss"]),
+               "auc": round(auc, 4),
+               "wall_s": round(time.time() - t0, 1)}
+        curve.append(row)
+        for k, v in row.items():
+            if k != "step":
+                logger.add_scalar(f"train/{k}", v, step)
+        print(json.dumps({"variant": variant, **row}), flush=True)
     checkpoints.save(outdir, {"params": state.params}, steps)
     return cfg, state, curve, ev, ev_labels
 

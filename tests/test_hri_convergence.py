@@ -57,6 +57,79 @@ def test_scene_labels_follow_the_rule():
     assert (np.abs(tok[pad < 0.5]).max() if (pad < 0.5).any() else 0) == 0
 
 
+def test_device_generator_labels_follow_rule():
+    """The on-device (JAX) generator obeys the same trigger/obj/act
+    invariants as the numpy generator it mirrors."""
+    from paddlerobotics_tpu.hri import synthetic_scene as ss
+
+    cfg = _tiny_cfg()
+    b = {k: np.asarray(v) for k, v in
+         ss.generate_windows_device(jax.random.key(0), 64, cfg).items()}
+    F, K = cfg.num_frames, cfg.tokens_per_frame
+    has, acts = b["has_act"], b["act_ids"]
+    obj = b["is_obj"].reshape(64, F, K)
+    assert ((acts > 0) == (has > 0.5)).all()
+    assert (obj.sum(-1) >= 1)[has > 0.5].all()
+    assert (obj.sum(-1) == 0)[has <= 0.5].all()
+    assert acts.max() < ss.NUM_ACTIONS_MIN + 1
+    assert 0.01 < has.mean() < 0.5
+    tok, pad = b["visual_tokens"], b["padding_mask"]
+    assert (np.abs(tok[pad < 0.5]).max() if (pad < 0.5).any() else 0) == 0
+
+
+def test_device_generator_crop_variant():
+    """inst_crop emits the (1280-d feat, cls scores, pos-emb) triple
+    with padding consistent across all three."""
+    from paddlerobotics_tpu.hri import synthetic_scene as ss
+
+    cfg = _tiny_cfg("inst_crop")
+    b = {k: np.asarray(v) for k, v in
+         ss.generate_windows_device(jax.random.key(1), 32, cfg).items()}
+    T = cfg.num_frames * cfg.tokens_per_frame
+    assert b["inst_crop_feat"].shape == (32, T, 1280)
+    assert b["inst_cls"].shape == (32, T, cfg.inst_cls_dim)
+    assert b["inst_pos_emb"].shape == (32, T, 50)
+    pad = b["padding_mask"] > 0.5
+    assert (np.abs(b["inst_crop_feat"][~pad]).max() == 0)
+    assert (np.abs(b["inst_cls"][~pad]).max() == 0)
+    # real person tokens carry a class-0 score near 1; clutter one-hot
+    assert b["inst_cls"][pad].sum(-1).min() > 0.5
+    n = {k: np.asarray(v) for k, v in ss.generate_windows(
+        np.random.RandomState(1), 32, cfg).items()}
+    assert abs(n["padding_mask"].mean() - b["padding_mask"].mean()) < 0.05
+
+
+def test_device_generator_matches_numpy_distribution():
+    """Summary statistics of the two generators agree — the convergence
+    study trains on device batches and evaluates on numpy windows, so a
+    distribution drift between them would silently cap eval AUC."""
+    from paddlerobotics_tpu.hri import synthetic_scene as ss
+
+    cfg = _tiny_cfg()
+    n = 512
+    a = ss.generate_windows(np.random.RandomState(3), n, cfg)
+    d = {k: np.asarray(v) for k, v in
+         ss.generate_windows_device(jax.random.key(3), n, cfg).items()}
+    for key, tol in (("has_act", 0.03), ("padding_mask", 0.03),
+                     ("is_obj", 0.02)):
+        assert abs(a[key].mean() - d[key].mean()) < tol, (
+            f"{key}: numpy {a[key].mean():.4f} vs device "
+            f"{d[key].mean():.4f}")
+    # token content: mean norm of real (non-pad) tokens
+    def tok_norm(b):
+        t = b["visual_tokens"].reshape(-1, t_dim)
+        m = b["padding_mask"].ravel() > 0.5
+        return float(np.linalg.norm(t[m], axis=-1).mean())
+    t_dim = a["visual_tokens"].shape[-1]
+    assert abs(tok_norm(a) - tok_norm(d)) < 0.5
+    # action-id histogram over triggering frames
+    ha = np.bincount(a["act_ids"][a["has_act"] > 0.5].astype(int),
+                     minlength=8)[1:7]
+    hd = np.bincount(d["act_ids"][d["has_act"] > 0.5].astype(int),
+                     minlength=8)[1:7]
+    assert np.abs(ha / ha.sum() - hd / hd.sum()).max() < 0.1
+
+
 def test_trigger_auc_converges():
     from paddlerobotics_tpu.hri import synthetic_scene as ss
     from paddlerobotics_tpu.hri.train_attention import AttentionTrainer
