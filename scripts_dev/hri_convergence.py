@@ -71,10 +71,30 @@ def train_variant(variant: str, steps: int, batch: int, outroot: str):
     evj = {k: jnp.asarray(v) for k, v in ev.items()}
     ev_labels = np.asarray(ev["has_act"][:, -1])
 
+    # resume: a finished checkpoint short-circuits retraining (the
+    # sweep/crosscheck stages can then be re-run cheaply)
+    ck = checkpoints.latest_step(outdir)
+    if ck == steps:
+        restored = checkpoints.restore(
+            os.path.join(outdir, f"itr_{ck}"), {"params": state.params})
+        state = state._replace(params=restored["params"])
+        curve = []
+        for line in open(os.path.join(outdir, "metrics.jsonl")):
+            d = json.loads(line)
+            if d["tag"] == "train/auc":
+                curve.append({"step": d["step"], "auc": d["value"]})
+        print(f"resumed {variant} from itr_{ck} "
+              f"(final auc {curve[-1]['auc'] if curve else '?'})",
+              flush=True)
+        return cfg, state, curve, ev, ev_labels
+
+    # eval batch passed as an ARGUMENT, not a closure capture — a
+    # captured batch becomes HLO constants (inst_crop: ~580 MB) and
+    # blows the remote-compile request limit (HTTP 413)
     @jax.jit
-    def eval_scores(params):
-        out = tr.model.apply(params, tr._tokens(evj), evj["frame_ids"],
-                             evj["padding_mask"])
+    def eval_scores(params, evb):
+        out = tr.model.apply(params, tr._tokens(evb), evb["frame_ids"],
+                             evb["padding_mask"])
         return jax.nn.sigmoid(out["trigger_logits"][:, -1])
 
     # the feed is generated ON DEVICE inside one scanned chunk per
@@ -98,7 +118,7 @@ def train_variant(variant: str, steps: int, batch: int, outroot: str):
     curve = []
     for step in range(CHUNK, steps + 1, CHUNK):
         state, aux = train_chunk(state, jax.random.key(step))
-        scores = np.asarray(eval_scores(state.params))
+        scores = np.asarray(eval_scores(state.params, evj))
         auc = auc_score(scores, ev_labels)
         row = {"step": step, "loss": float(aux["loss"]),
                "trigger_loss": float(aux["trigger_loss"]),
@@ -142,9 +162,14 @@ def sweep(variant: str, cfg, state, ev, ev_labels):
         from paddlerobotics_tpu.hri.train_attention import AttentionTrainer
         tr = AttentionTrainer(cfg)
         evj = {k: jnp.asarray(v) for k, v in ev.items()}
-        out = tr.model.apply(state.params, tr._tokens(evj),
-                             evj["frame_ids"], evj["padding_mask"])
-        scores = np.asarray(jax.nn.sigmoid(out["trigger_logits"][:, -1]))
+
+        @jax.jit
+        def score_fn(params, evb):
+            out = tr.model.apply(params, tr._tokens(evb),
+                                 evb["frame_ids"], evb["padding_mask"])
+            return jax.nn.sigmoid(out["trigger_logits"][:, -1])
+
+        scores = np.asarray(score_fn(state.params, evj))
         evaluator = OfflineEvaluator(None)
 
     rows = evaluator.sweep_thresholds(scores, ev_labels,
@@ -205,9 +230,14 @@ def native_crosscheck(cfg, state, ev, scores_direct, n_check: int = 48):
         acts = np.asarray(acts)
         return float(trig), np.asarray(obj), int(acts.argmax()), acts
 
+    # warm the jit before the socket loop: the first attend call
+    # compiles over the remote tunnel (minutes), far beyond any sane
+    # transport timeout
+    attend_fn(jnp.zeros((F, K, 562)), jnp.ones((F, K)))
+
     server = NativeEvalServer(detect, attend, num_act=cfg.num_actions,
                               trigger_threshold=0.8)
-    client = EvalStreamClient(port=server.port)
+    client = EvalStreamClient(port=server.port, timeout=120.0)
     native_scores = []
     try:
         for w in range(n_check):
