@@ -57,7 +57,8 @@ def build_task_config(mode: str, eval_steps: int = 600,
                       critic_reset_steps=preset.get("critic_reset_steps", 0),
                       det_rollout_frac=preset.get("det_frac", 0.0),
                       alpha_anneal_steps=preset.get("alpha_anneal_steps", 0),
-                      alpha_final=preset.get("alpha_final", 0.05)),
+                      alpha_final=preset.get("alpha_final", 0.05),
+                      bf16_matmul=bool(preset.get("bf16_matmul", False))),
         reward=RewardConfig(lateral=preset.get("lateral", 0.0),
                             vel_d=preset.get("vel_d", 0.5)),
         # ES at the wall-ratio-preserving cadence (400*B,
@@ -117,7 +118,8 @@ def _restore_and_eval(trainer, outdir: str, eval_steps: int):
 
 
 def run_task(mode: str, root: str, train: bool, budget: int,
-             eval_steps: int, overrides: dict | None = None) -> dict:
+             eval_steps: int, overrides: dict | None = None,
+             seed: int = 0) -> dict:
     import jax
 
     from paddlerobotics_tpu.etg import seeds as etg_seeds
@@ -144,7 +146,7 @@ def run_task(mode: str, root: str, train: bool, budget: int,
         import jax.numpy as jnp
         t0 = time.time()
         carry, (w, b, p) = trainer.train(
-            max_steps=budget, chunk_steps=50, checkpoint=False,
+            max_steps=budget, chunk_steps=50, checkpoint=False, seed=seed,
             init_etg_param=None if seed_param is None
             else jnp.asarray(seed_param))
         row["wall_s"] = round(time.time() - t0, 1)

@@ -34,11 +34,13 @@ SCHEDULES = [
 
 
 def bench_schedule(tag: str, B: int, K: int, chunk_steps: int,
-                   iters: int, use_pallas: bool) -> dict:
+                   iters: int, use_pallas: bool,
+                   bf16: bool = False) -> dict:
     cfg = QuadrupedConfig(
         sim=dataclasses.replace(QuadrupedConfig().sim,
                                 use_pallas=use_pallas),
-        sac=SACConfig(warmup_steps=0, memory_size=100_000),
+        sac=SACConfig(warmup_steps=0, memory_size=100_000,
+                      bf16_matmul=bf16),
         es=ESConfig(es_every_steps=10 ** 12),   # pure SAC loop
         train=TrainConfig(num_envs=B, eval_every_steps=10 ** 12),
     )
@@ -86,6 +88,8 @@ def main(argv=None):
     p.add_argument("--num_envs", type=int, default=0,
                    help="override: bench a single custom (B, K) point")
     p.add_argument("--updates_per_step", type=int, default=4)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 critic matmuls (SACConfig.bf16_matmul)")
     args = p.parse_args(argv)
     use_pallas = (jax.default_backend() == "tpu"
                   if args.use_pallas is None else bool(args.use_pallas))
@@ -94,7 +98,7 @@ def main(argv=None):
          args.num_envs, args.updates_per_step)]
     for tag, B, K in schedules:
         r = bench_schedule(tag, B, K, args.chunk_steps, args.iters,
-                           use_pallas)
+                           use_pallas, bf16=args.bf16)
         print(json.dumps(r), flush=True)
 
 

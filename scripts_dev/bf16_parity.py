@@ -20,9 +20,16 @@ for a in sys.argv[1:]:
     if a.startswith("budget="):
         budget = int(a.split("=", 1)[1])
 
-for tag, ov in (("fp32", {}), ("bf16", {"bf16_matmul": True})):
-    row = eval_matrix.run_task(
-        "stairstair", f"/tmp/bf16_parity/{tag}", train=True,
-        budget=budget, eval_steps=600, overrides=ov)
-    row["arm"] = tag
-    print(json.dumps(row), flush=True)
+seeds = [0]
+for a in sys.argv[1:]:
+    if a.startswith("seeds="):
+        seeds = [int(s) for s in a.split("=", 1)[1].split(",")]
+
+for seed in seeds:
+    for tag, ov in (("fp32", {}), ("bf16", {"bf16_matmul": True})):
+        row = eval_matrix.run_task(
+            "stairstair", f"/tmp/bf16_parity/{tag}_s{seed}", train=True,
+            budget=budget, eval_steps=600, overrides=ov, seed=seed)
+        row["arm"] = tag
+        row["seed"] = seed
+        print(json.dumps(row), flush=True)
