@@ -30,6 +30,17 @@ Tokens reuse the REAL serving-layout pieces: visual tokens are
 sensor's 562-d tokens (perception/scene.py; pos-emb from
 hri/utils.get_bbox_pos_emb), and the inst_crop variant emits the
 (1280-d crop feat, 80-d cls scores, 50-d pos-emb) triple.
+
+The INSTANCE family (`instance` + the three `without_*` ablations of
+parallel_train_attn.py:25-31) emits the raw serving triple instead:
+`inst_fm` (T,512,5,5) RoIAligned feature maps — appearance ⊗ a fixed
+5×5 spatial profile + cell noise, so the 1×1-conv+fc reduction path
+must recover the appearance direction —, `inst_cls` (T,80) detector
+class scores, `inst_pos_emb` (T,50). Each `without_*` variant's batch
+omits exactly the key the reference ablation drops, which removes the
+corresponding label factor from the observable stream (e.g. the facing
+attribute lives only in appearance, so `without_inst_fm` has a
+sub-1.0 AUC ceiling by construction — the ablation's point).
 """
 
 from __future__ import annotations
@@ -50,6 +61,35 @@ NULL_ACT = 0
 
 # action-id layout: 1 + band*2 + fast  ∈ [1, 6]
 NUM_ACTIONS_MIN = 1 + BANDS * 2
+
+INSTANCE_FAMILY = ("instance", "without_inst_fm", "without_inst_cls",
+                   "without_inst_pos")
+
+# fixed 5×5 spatial profile for synthetic RoIAligned feature maps —
+# center-weighted like a pooled object response; shared by the numpy
+# and device generators so their distributions match
+_FM_W = np.array([0.5, 0.8, 1.0, 0.8, 0.5], np.float32)
+FM_SPATIAL = np.outer(_FM_W, _FM_W)
+FM_CELL_NOISE = 0.05
+
+
+def variant_token_keys(inputs_type: str) -> tuple:
+    """Token keys a variant's batch must carry (mirrors
+    AttentionTrainer._variant_keys — attention_ctrl.py:86-119)."""
+    if inputs_type == "visual_token":
+        return ("visual_tokens",)
+    if inputs_type == "inst_crop":
+        return ("inst_crop_feat", "inst_cls", "inst_pos_emb")
+    if inputs_type not in INSTANCE_FAMILY:
+        raise ValueError(f"unknown inputs_type {inputs_type!r}")
+    keys = []
+    if inputs_type != "without_inst_fm":
+        keys.append("inst_fm")
+    if inputs_type != "without_inst_cls":
+        keys.append("inst_cls")
+    if inputs_type != "without_inst_pos":
+        keys.append("inst_pos_emb")
+    return tuple(keys)
 
 
 def _unit(rng, d):
@@ -120,11 +160,7 @@ def alloc_buffers(n: int, ctrl_cfg) -> dict:
     never allocate batch-sized arrays — pass the returned dict back to
     :func:`generate_windows` as ``out=`` to reuse it."""
     F, K = ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame
-    crop = ctrl_cfg.inputs_type == "inst_crop"
-    if ctrl_cfg.inputs_type not in ("visual_token", "inst_crop"):
-        raise ValueError(
-            f"synthetic scenes support visual_token / inst_crop, got "
-            f"{ctrl_cfg.inputs_type!r}")
+    keys = variant_token_keys(ctrl_cfg.inputs_type)
     T = F * K
     frame_ids = np.tile(np.repeat(np.arange(1, F + 1), K), (n, 1))
     out = {"frame_ids": frame_ids.astype(np.int64),
@@ -132,11 +168,21 @@ def alloc_buffers(n: int, ctrl_cfg) -> dict:
            "has_act": np.zeros((n, F), np.float32),
            "act_ids": np.zeros((n, F), np.int64),
            "is_obj": np.zeros((n, T), np.float32)}
-    if crop:
+    if ctrl_cfg.inputs_type == "inst_crop":
         out["inst_crop_feat"] = np.zeros((n, T, 1280), np.float32)
         out["inst_cls"] = np.zeros((n, T, ctrl_cfg.inst_cls_dim),
                                    np.float32)
         out["inst_pos_emb"] = np.zeros((n, T, 50), np.float32)
+    elif ctrl_cfg.inputs_type in INSTANCE_FAMILY:
+        # raw serving triple, pruned to exactly what the ablation keeps
+        # (inst_fm is ~10 MB/window — never allocated when dropped)
+        if "inst_fm" in keys:
+            out["inst_fm"] = np.zeros((n, T, 512, 5, 5), np.float32)
+        if "inst_cls" in keys:
+            out["inst_cls"] = np.zeros((n, T, ctrl_cfg.inst_cls_dim),
+                                       np.float32)
+        if "inst_pos_emb" in keys:
+            out["inst_pos_emb"] = np.zeros((n, T, 50), np.float32)
     else:
         # 562-d serving token layout: [512 appearance | 50 pos-emb],
         # written in place (a final concatenate would re-fault the
@@ -173,9 +219,14 @@ def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
                 a.fill(0)
     pad, has_act, is_obj, act_ids = (out["padding_mask"], out["has_act"],
                                      out["is_obj"], out["act_ids"])
+    fm = out.get("inst_fm")
     if crop:
         toks, cls, pos = (out["inst_crop_feat"], out["inst_cls"],
                           out["inst_pos_emb"])
+    elif ctrl_cfg.inputs_type in INSTANCE_FAMILY:
+        # appearance goes into the RoI feature maps (if kept); cls/pos
+        # are whatever this ablation retains
+        toks, cls, pos = None, out.get("inst_cls"), out.get("inst_pos_emb")
     else:
         vt = out["visual_tokens"]
         toks, pos, cls = vt[..., :app_dim], vt[..., app_dim:], None
@@ -195,10 +246,16 @@ def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
             app = (protos.person + 0.6 * protos.bands[a["band"]]
                    + (0.6 * protos.facing if a["facing"] else 0.0)
                    + 0.25 * rng.randn(F, app_dim)).astype(np.float32)
-            toks[w, i, :] = app
+            if toks is not None:
+                toks[w, i, :] = app
+            if fm is not None:
+                fm[w, i] = (app[:, :, None, None] * FM_SPATIAL
+                            + FM_CELL_NOISE
+                            * rng.randn(F, app_dim, 5, 5))
             if cls is not None:
                 cls[w, i, 0] = 1.0 + 0.1 * rng.randn(F)  # person score
-            pos[w, i] = _pos_emb_np(bbox)
+            if pos is not None:
+                pos[w, i] = _pos_emb_np(bbox)
             pad[w, i] = 1.0
             grow = np.where(t_idx >= 2,
                             h - h[np.maximum(t_idx - 2, 0)], 0.0)
@@ -215,15 +272,21 @@ def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
                                 for c in range(n_c)])
             app = (np.tile(cprotos, (F, 1))
                    + 0.25 * rng.randn(F * n_c, app_dim)).astype(np.float32)
-            toks[w, i] = app
+            if toks is not None:
+                toks[w, i] = app
+            if fm is not None:
+                fm[w, i] = (app[:, :, None, None] * FM_SPATIAL
+                            + FM_CELL_NOISE
+                            * rng.randn(F * n_c, app_dim, 5, 5))
             if cls is not None:
                 ccls = 1 + rng.randint(ctrl_cfg.inst_cls_dim - 1,
                                        size=F * n_c)
                 cls[w, i, ccls] = 1.0
-            cb = np.sort(rng.uniform(0, IM, (F * n_c, 2)), axis=-1)
-            pos[w, i] = _pos_emb_np(
-                np.stack([cb[:, 0], cb[:, 0], cb[:, 1], cb[:, 1]],
-                         axis=-1))
+            if pos is not None:
+                cb = np.sort(rng.uniform(0, IM, (F * n_c, 2)), axis=-1)
+                pos[w, i] = _pos_emb_np(
+                    np.stack([cb[:, 0], cb[:, 0], cb[:, 1], cb[:, 1]],
+                             axis=-1))
             pad[w, i] = 1.0
 
     return out
@@ -269,8 +332,9 @@ def _pos_emb_dev(bbox: jnp.ndarray) -> jnp.ndarray:
          x_emb.reshape(*x_emb.shape[:-2], 25)], axis=-1)
 
 
-def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, crop: bool):
-    """One window (no batch axis); vmapped by generate_windows_device."""
+def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple):
+    """One window (no batch axis); vmapped by generate_windows_device.
+    ``keys`` = the variant's token keys (variant_token_keys)."""
     app_dim = pp["person"].shape[0]
     t = jnp.arange(F, dtype=jnp.float32)
     (k_na, k_act, k_anoise, k_nc, k_cnoise, k_ccls, k_cbox,
@@ -350,34 +414,54 @@ def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, crop: bool):
     out = {"has_act": has_act, "act_ids": act_ids,
            "padding_mask": pad.reshape(F * K),
            "is_obj": is_obj.reshape(F * K)}
-    if crop:
+    if "visual_tokens" in keys:
+        cand_tok = jnp.concatenate([cand_app, cand_pos], axis=-1)
+        tok = jnp.zeros((F, K, app_dim + 50)).at[:, slots].set(
+            cand_tok, mode="drop")
+        out["visual_tokens"] = tok.reshape(F * K, app_dim + 50)
+        return out
+    if "inst_cls" in keys:
         a_cls = jnp.zeros((MAX_ACTORS, F, cls_dim)).at[..., 0].set(
             1.0 + 0.1 * jax.random.normal(k_acls, (MAX_ACTORS, F)))
         ccls_idx = 1 + jax.random.randint(k_ccls, (MAX_CLUTTER, F), 0,
                                           cls_dim - 1)
         c_cls = jax.nn.one_hot(ccls_idx, cls_dim)
         cand_cls = jnp.concatenate([a_cls, c_cls]).swapaxes(0, 1)
-        feat = jnp.zeros((F, K, app_dim)).at[:, slots].set(
-            cand_app, mode="drop")
         cls = jnp.zeros((F, K, cls_dim)).at[:, slots].set(
             cand_cls, mode="drop")
-        pos = jnp.zeros((F, K, 50)).at[:, slots].set(cand_pos, mode="drop")
-        out["inst_crop_feat"] = feat.reshape(F * K, app_dim)
         out["inst_cls"] = cls.reshape(F * K, cls_dim)
+    if "inst_crop_feat" in keys:
+        feat = jnp.zeros((F, K, app_dim)).at[:, slots].set(
+            cand_app, mode="drop")
+        out["inst_crop_feat"] = feat.reshape(F * K, app_dim)
+    if "inst_fm" in keys:
+        # appearance ⊗ fixed spatial profile + cell noise (noise keys
+        # fold_in-derived so the pre-existing variants' streams are
+        # byte-identical to before this family existed)
+        spatial = jnp.asarray(FM_SPATIAL)
+        a_fm = (app[..., None, None] * spatial
+                + FM_CELL_NOISE * jax.random.normal(
+                    jax.random.fold_in(k_anoise, 1),
+                    (MAX_ACTORS, F, app_dim, 5, 5)))
+        c_fm = (c_app[..., None, None] * spatial
+                + FM_CELL_NOISE * jax.random.normal(
+                    jax.random.fold_in(k_cnoise, 1),
+                    (MAX_CLUTTER, F, app_dim, 5, 5)))
+        cand_fm = jnp.concatenate([a_fm, c_fm]).swapaxes(0, 1)
+        fm = jnp.zeros((F, K, app_dim, 5, 5)).at[:, slots].set(
+            cand_fm, mode="drop")
+        out["inst_fm"] = fm.reshape(F * K, app_dim, 5, 5)
+    if "inst_pos_emb" in keys:
+        pos = jnp.zeros((F, K, 50)).at[:, slots].set(cand_pos, mode="drop")
         out["inst_pos_emb"] = pos.reshape(F * K, 50)
-    else:
-        cand_tok = jnp.concatenate([cand_app, cand_pos], axis=-1)
-        tok = jnp.zeros((F, K, app_dim + 50)).at[:, slots].set(
-            cand_tok, mode="drop")
-        out["visual_tokens"] = tok.reshape(F * K, app_dim + 50)
     return out
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _gen_batch_device(key, n: int, static, pp):
-    F, K, cls_dim, crop = static
+    F, K, cls_dim, keys = static
     gen = functools.partial(_gen_one_device, pp=pp, F=F, K=K,
-                            cls_dim=cls_dim, crop=crop)
+                            cls_dim=cls_dim, keys=keys)
     out = jax.vmap(lambda k: gen(k))(jax.random.split(key, n))
     out["frame_ids"] = jnp.tile(
         jnp.repeat(jnp.arange(1, F + 1), K)[None], (n, 1))
@@ -390,12 +474,8 @@ def generate_windows_device(key, n: int, ctrl_cfg,
     same label rule, same per-field distributions (different RNG
     stream). Jittable/fusable: call inside a scanned train chunk so the
     feed never leaves the device."""
-    crop = ctrl_cfg.inputs_type == "inst_crop"
-    if ctrl_cfg.inputs_type not in ("visual_token", "inst_crop"):
-        raise ValueError(
-            f"synthetic scenes support visual_token / inst_crop, got "
-            f"{ctrl_cfg.inputs_type!r}")
     pp = protos if protos is not None else device_prototypes(ctrl_cfg)
     static = (ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame,
-              ctrl_cfg.inst_cls_dim, crop)
+              ctrl_cfg.inst_cls_dim,
+              variant_token_keys(ctrl_cfg.inputs_type))
     return _gen_batch_device(key, n, static, pp)

@@ -50,6 +50,90 @@ def make_cfg(variant: str):
 
 CHUNK = 250     # train steps per device dispatch (= the eval cadence)
 
+# instance-family eval: generated ON DEVICE in fixed-key chunks — an
+# inst_fm window is ~10 MB, so a 512-window numpy eval set would ship
+# ~5 GB over the remote tunnel; fixed keys make the set deterministic
+EV_CHUNK, EV_NCHUNKS = 64, 8
+
+
+def train_variant_device_eval(variant: str, steps: int, batch: int,
+                              outroot: str):
+    """Train an INSTANCE-family ablation (parallel_train_attn.py:25-31)
+    with the held-out eval generated on device in fixed-key chunks.
+    Returns (cfg, state, curve, scores, labels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from paddlerobotics_tpu.hri import synthetic_scene as ss
+    from paddlerobotics_tpu.hri.train_attention import AttentionTrainer
+    from paddlerobotics_tpu.train import checkpoints, metrics as m
+
+    cfg = make_cfg(variant)
+    outdir = os.path.join(outroot, variant)
+    os.makedirs(outdir, exist_ok=True)
+    logger = m.MetricsLogger(outdir, use_tensorboard=False)
+    tr = AttentionTrainer(cfg, lr=1e-4, weight_decay=0.1)
+    state = tr.init(jax.random.key(0))
+    protos_dev = ss.device_prototypes(cfg)
+
+    @jax.jit
+    def eval_chunk(params, key):
+        b = ss.generate_windows_device(key, EV_CHUNK, cfg, protos_dev)
+        out = tr.model.apply(params, tr._tokens(b), b["frame_ids"],
+                             b["padding_mask"])
+        return (jax.nn.sigmoid(out["trigger_logits"][:, -1]),
+                b["has_act"][:, -1])
+
+    def eval_all(params):
+        sc, lb = [], []
+        for j in range(EV_NCHUNKS):
+            s, l = eval_chunk(params, jax.random.key(7_000_000 + j))
+            sc.append(np.asarray(s))
+            lb.append(np.asarray(l))
+        return np.concatenate(sc), np.concatenate(lb)
+
+    ck = checkpoints.latest_step(outdir)
+    if ck == steps:
+        restored = checkpoints.restore(
+            os.path.join(outdir, f"itr_{ck}"), {"params": state.params})
+        state = state._replace(params=restored["params"])
+        curve = []
+        for line in open(os.path.join(outdir, "metrics.jsonl")):
+            d = json.loads(line)
+            if d["tag"] == "train/auc":
+                curve.append({"step": d["step"], "auc": d["value"]})
+        scores, labels = eval_all(state.params)
+        print(f"resumed {variant} from itr_{ck}", flush=True)
+        return cfg, state, curve, scores, labels
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(st, key):
+        def body(s, k):
+            b = ss.generate_windows_device(k, batch, cfg, protos_dev)
+            return tr.train_step(s, b)
+        st, auxs = jax.lax.scan(body, st, jax.random.split(key, CHUNK))
+        return st, jax.tree.map(lambda x: x[-1], auxs)
+
+    t0 = time.time()
+    curve = []
+    scores = labels = None
+    for step in range(CHUNK, steps + 1, CHUNK):
+        state, aux = train_chunk(state, jax.random.key(step))
+        scores, labels = eval_all(state.params)
+        auc = auc_score(scores, labels)
+        row = {"step": step, "loss": float(aux["loss"]),
+               "trigger_loss": float(aux["trigger_loss"]),
+               "act_loss": float(aux["act_loss"]),
+               "auc": round(auc, 4),
+               "wall_s": round(time.time() - t0, 1)}
+        curve.append(row)
+        for k, v in row.items():
+            if k != "step":
+                logger.add_scalar(f"train/{k}", v, step)
+        print(json.dumps({"variant": variant, **row}), flush=True)
+    checkpoints.save(outdir, {"params": state.params}, steps)
+    return cfg, state, curve, scores, labels
+
 
 def train_variant(variant: str, steps: int, batch: int, outroot: str):
     import jax
@@ -269,9 +353,33 @@ def main():
             batch = int(a.split("=", 1)[1])
     outroot = "/tmp/hri_convergence"
     os.makedirs(outroot, exist_ok=True)
+    from paddlerobotics_tpu.hri.synthetic_scene import INSTANCE_FAMILY
+
     summary = []
     for variant in variants:
         print(f"=== {variant} ===", flush=True)
+        if variant in INSTANCE_FAMILY:
+            from paddlerobotics_tpu.hri.eval_client import OfflineEvaluator
+            # inst_fm batches are ~10 MB/window — cap the fm variants'
+            # train batch so the scanned feed fits comfortably in HBM
+            vb = batch if variant == "without_inst_fm" else min(batch, 32)
+            cfg, state, curve, scores, ev_labels = train_variant_device_eval(
+                variant, steps, vb, outroot)
+            rows = OfflineEvaluator(None).sweep_thresholds(
+                scores, ev_labels, thresholds=np.arange(0.5, 0.96, 0.05))
+            ok = [r for r in rows if r["precision"] >= 0.95]
+            chosen = (max(ok, key=lambda r: r["recall"]) if ok
+                      else max(rows, key=lambda r: r["f1"]))
+            entry = {"variant": variant, "curve": curve,
+                     "final_auc": curve[-1]["auc"], "sweep": rows,
+                     "chosen_threshold": chosen,
+                     "pos_frac": round(float(ev_labels.mean()), 4)}
+            summary.append(entry)
+            print(json.dumps({k: v for k, v in entry.items()
+                              if k != "curve"}), flush=True)
+            with open(os.path.join(outroot, "summary.json"), "w") as f:
+                json.dump(summary, f, indent=1)
+            continue
         cfg, state, curve, ev, ev_labels = train_variant(
             variant, steps, batch, outroot)
         scores, rows, chosen = sweep(variant, cfg, state, ev, ev_labels)

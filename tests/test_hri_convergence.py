@@ -130,6 +130,87 @@ def test_device_generator_matches_numpy_distribution():
     assert np.abs(ha / ha.sum() - hd / hd.sum()).max() < 0.1
 
 
+@pytest.mark.parametrize("variant", ["instance", "without_inst_fm",
+                                     "without_inst_cls",
+                                     "without_inst_pos"])
+def test_instance_family_generators(variant):
+    """The instance-family ablations (parallel_train_attn.py:25-31) emit
+    exactly the keys the variant consumes, zero tokens off-padding, and
+    the same label rule — numpy and device generators alike."""
+    from paddlerobotics_tpu.hri import synthetic_scene as ss
+
+    cfg = _tiny_cfg(variant)
+    T = cfg.num_frames * cfg.tokens_per_frame
+    keys = ss.variant_token_keys(variant)
+    for b in (ss.generate_windows(np.random.RandomState(5), 24, cfg),
+              {k: np.asarray(v) for k, v in ss.generate_windows_device(
+                  jax.random.key(5), 24, cfg).items()}):
+        tok_keys = tuple(k for k in ss.variant_token_keys("instance")
+                         if k in b)
+        assert tok_keys == keys
+        pad = b["padding_mask"] > 0.5
+        has, acts = b["has_act"], b["act_ids"]
+        assert ((acts > 0) == (has > 0.5)).all()
+        if "inst_fm" in b:
+            assert b["inst_fm"].shape == (24, T, 512, 5, 5)
+            assert np.abs(b["inst_fm"][~pad]).max() == 0
+        if "inst_cls" in b:
+            assert np.abs(b["inst_cls"][~pad]).max() == 0
+        if "inst_pos_emb" in b:
+            assert np.abs(b["inst_pos_emb"][~pad]).max() == 0
+
+
+def test_instance_fm_spatial_structure():
+    """inst_fm must be appearance ⊗ FM_SPATIAL (+ small cell noise) in
+    BOTH generators — the 1×1-conv reduction path learns from this
+    structure, so a drift between generators would cap the fm variants'
+    eval AUC."""
+    from paddlerobotics_tpu.hri import synthetic_scene as ss
+
+    cfg = _tiny_cfg("without_inst_cls")   # fm + pos, no cls buffer
+    for b in (ss.generate_windows(np.random.RandomState(6), 16, cfg),
+              {k: np.asarray(v) for k, v in ss.generate_windows_device(
+                  jax.random.key(6), 16, cfg).items()}):
+        pad = b["padding_mask"] > 0.5
+        fm = b["inst_fm"][pad]                      # (M, 512, 5, 5)
+        assert len(fm) > 0
+        # per-cell mean |fm| follows the fixed spatial profile
+        prof = np.abs(fm).mean(axis=(0, 1))          # (5, 5)
+        ref = ss.FM_SPATIAL
+        ratio = prof / prof[2, 2]
+        assert np.abs(ratio - ref / ref[2, 2]).max() < 0.1, ratio
+        # center cell ≈ the appearance vector itself (profile peak 1.0)
+        center = fm[:, :, 2, 2]
+        assert float(np.linalg.norm(center, axis=-1).mean()) > 1.0
+
+
+def test_without_inst_fm_converges():
+    """The cheapest instance-family ablation trains through the shared
+    trainer path; its AUC ceiling is < 1 by construction (the facing
+    attribute lives only in the dropped appearance), but near+approach
+    is recoverable from pos-emb — the floor is well above chance."""
+    from paddlerobotics_tpu.hri import synthetic_scene as ss
+    from paddlerobotics_tpu.hri.train_attention import AttentionTrainer
+
+    cfg = _tiny_cfg("without_inst_fm")
+    tr = AttentionTrainer(cfg, lr=3e-4, weight_decay=0.01)
+    state = tr.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    ev = ss.generate_windows(rng, 256, cfg)
+    evj = {k: jnp.asarray(v) for k, v in ev.items()}
+    lab = np.asarray(ev["has_act"]).ravel()
+
+    for _ in range(200):
+        b = ss.generate_windows(rng, 64, cfg)
+        state, aux = tr.train_step(
+            state, {k: jnp.asarray(v) for k, v in b.items()})
+    out = tr.model.apply(state.params, tr._tokens(evj), evj["frame_ids"],
+                         evj["padding_mask"])
+    score = np.asarray(jax.nn.sigmoid(out["trigger_logits"])).ravel()
+    auc = _auc(score, lab)
+    assert auc > 0.8, f"without_inst_fm AUC {auc:.3f} — not learning"
+
+
 def test_trigger_auc_converges():
     from paddlerobotics_tpu.hri import synthetic_scene as ss
     from paddlerobotics_tpu.hri.train_attention import AttentionTrainer
