@@ -104,23 +104,43 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--freq", type=float, default=0.5)
     p.add_argument("--amplitude", type=float, default=0.2)
+    p.add_argument("--udp", type=str, default="",
+                   help="host:port of a UDP robot bridge "
+                        "(deploy/udp_bridge protocol); 'emulator' spins "
+                        "a local sim-backed emulator server")
     args = p.parse_args(argv)
 
     import dataclasses
 
     from paddlerobotics_tpu.core.config import QuadrupedConfig
-    from paddlerobotics_tpu.deploy.realtime import SimRobotIO
-    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
 
-    cfg = QuadrupedConfig()
-    # rack the robot, as the reference insists (a1_robot_exercise.py:32-34)
-    cfg = dataclasses.replace(
-        cfg, sim=dataclasses.replace(cfg.sim, on_rack=True),
-        etg=dataclasses.replace(cfg.etg, step_y=0.0))
-    env = BatchedQuadrupedEnv(cfg, num_envs=1)
-    io = SimRobotIO(env)
+    server = None
+    if args.udp:
+        from paddlerobotics_tpu.deploy.udp_bridge import (A1EmulatorServer,
+                                                          A1UdpClient)
+        if args.udp == "emulator":
+            server = A1EmulatorServer()
+            addr = server.addr
+        else:
+            host, port = args.udp.rsplit(":", 1)
+            addr = (host, int(port))
+        io = A1UdpClient(addr, timeout=30.0)
+    else:
+        from paddlerobotics_tpu.deploy.realtime import SimRobotIO
+        from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+
+        cfg = QuadrupedConfig()
+        # rack the robot, as the reference insists
+        # (a1_robot_exercise.py:32-34)
+        cfg = dataclasses.replace(
+            cfg, sim=dataclasses.replace(cfg.sim, on_rack=True),
+            etg=dataclasses.replace(cfg.etg, step_y=0.0))
+        env = BatchedQuadrupedEnv(cfg, num_envs=1)
+        io = SimRobotIO(env)
     rec = run_exercise(io, steps=args.steps, freq=args.freq,
                        amplitude=args.amplitude)
+    if server is not None:
+        server.close()
     out = f"{args.suffix}_obs_sin.npz"
     rec.save(out)
     q = np.asarray(rec.rows["motor_angle"])
