@@ -21,8 +21,15 @@ _ENV_REGISTRY = {}
 # (paddlerobotics_tpu/assets/etg_seeds/, auto-resolved by
 # --ETG_path auto) + a plasticity stabilizer to hold their plateau.
 TASK_PRESETS: dict = {
+    # alpha annealed 0.2→0.05 over the nominal 20M budget: settles the
+    # high-entropy schedule's train-trace wander (velx 0.34-0.39 →
+    # ~1.1) with the deterministic eval at full strength
+    # (docs/task_matrix.md round-4 arm; re-validated through
+    # cli.eval_matrix before shipping). Longer budgets simply hold the
+    # annealed floor past 20M.
     "up_slope": dict(num_envs=1024, updates_per_step=16,
-                     warmup_steps=200_000, ln_critic=True),
+                     warmup_steps=200_000, ln_critic=True,
+                     alpha_anneal_steps=20_000_000),
     "slopeslope": dict(num_envs=1024, updates_per_step=16,
                        warmup_steps=200_000, ln_critic=True),
     # periodic critic reset counters the 25M+ high-reuse decay at K=4

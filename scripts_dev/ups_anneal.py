@@ -17,12 +17,15 @@ import sys
 from paddlerobotics_tpu.cli import eval_matrix
 
 budget = 20_000_000
+task = "up_slope"
 for a in sys.argv[1:]:
     if a.startswith("budget="):
         budget = int(a.split("=", 1)[1])
+    elif a.startswith("task="):
+        task = a.split("=", 1)[1]
 
 row = eval_matrix.run_task(
-    "up_slope", "/tmp/ups_anneal", train=True, budget=budget,
+    task, f"/tmp/{task}_anneal", train=True, budget=budget,
     eval_steps=600,
     overrides=dict(alpha_anneal_steps=budget))
 print(json.dumps(row), flush=True)
