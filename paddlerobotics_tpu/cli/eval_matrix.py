@@ -45,11 +45,28 @@ def build_task_config(mode: str, eval_steps: int = 600,
     nb = preset.get("num_envs", num_envs_default)
     ups = preset.get("updates_per_step", 4)
     base = QuadrupedConfig()
+    # temporal obs modes (SENSOR_MODE['RNN'], train.py:273-277) and DR
+    # toggles, overridable per arm (scripts_dev/rnn_matrix.py)
+    sensors = dataclasses.replace(
+        base.sensors,
+        rnn_mode=preset.get("rnn_mode", base.sensors.rnn_mode),
+        rnn_time_steps=preset.get("rnn_time_steps",
+                                  base.sensors.rnn_time_steps),
+        rnn_time_interval=preset.get("rnn_time_interval",
+                                     base.sensors.rnn_time_interval))
+    random = dataclasses.replace(
+        base.random,
+        random_dynamics=bool(preset.get("random_dynamics",
+                                        base.random.random_dynamics)),
+        dynamics_scale=preset.get("dynamics_scale",
+                                  base.random.dynamics_scale))
     task_kw = {k: preset[k] for k in ("beam_width", "step_height",
                                       "step_width", "slope")
                if k in preset}
     cfg = QuadrupedConfig(
         sim=dataclasses.replace(base.sim, use_pallas=use_pallas),
+        sensors=sensors,
+        random=random,
         etg=dataclasses.replace(
             base.etg, step_y=preset.get("step_y", base.etg.step_y)),
         sac=SACConfig(warmup_steps=preset.get("warmup_steps", 200_000),

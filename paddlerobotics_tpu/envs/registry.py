@@ -56,6 +56,13 @@ TASK_PRESETS: dict = {
     # arm whose FINAL policy (no checkpoint selection needed) runs
     # 600/600 at 0.985 success / 0.75 m/s; its eval-peak reaches
     # 0.993 / 1.07 m/s (arm table in docs/task_matrix.md).
+    # OUT-OF-PRESET (known limitation, measured): the WIDE-stance
+    # geometry (step_y=0.09) does NOT close at 40M under any tried
+    # schedule (best 0.897 success, 58-step survival — docs/
+    # task_matrix.md "40M hardening"). The beam is shipped as solved by
+    # THIS configuration (golden stance 0.05), not robustly across
+    # stance geometries; arms that widen step_y should expect to redo
+    # the curriculum study.
     "balance_beam": dict(step_y=0.05, beam_width=0.4, lateral=0.5,
                          vel_d=0.3, ETG_path="None", spawn_x_max=3.0,
                          spawn_y=0.08, spawn_yaw=0.2, keep_best_eval=1,

@@ -28,7 +28,8 @@ class OfflineEvaluator:
         valid = jnp.asarray(valid_windows).reshape(N, F * K).astype(
             jnp.float32)
         frame_ids = jnp.repeat(jnp.arange(1, F + 1), K)[None].repeat(N, 0)
-        out = self.svc._attend(tokens, frame_ids, valid)
+        out = self.svc._attend(self.svc.ctrl_params, tokens, frame_ids,
+                               valid)
         return np.asarray(jax.nn.sigmoid(out["trigger_logits"][:, -1]))
 
     def sweep_thresholds(self, scores: np.ndarray, labels: np.ndarray,

@@ -73,14 +73,17 @@ class ProactiveGreetingService:
         self.frame_counter = 0
         self.last_trigger_time = -1e9
 
+        # params flow as ARGUMENTS, never closure captures — captured
+        # params become HLO constants (YOLOv4: ~250 MB) and blow the
+        # remote-compile request limit (HTTP 413) on tunnel-attached
+        # chips (same rule as scripts_dev/hri_convergence.py eval)
         self._detect = jax.jit(
-            lambda img: self.scene.get_instances_with_feats(
-                self.scene_params, img))
+            lambda params, img: self.scene.get_instances_with_feats(
+                params, img))
         self._attend = jax.jit(self._attend_impl)
 
-    def _attend_impl(self, tokens, frame_ids, padding):
-        return self.ctrl.apply(self.ctrl_params,
-                               {"visual_tokens": tokens},
+    def _attend_impl(self, params, tokens, frame_ids, padding):
+        return self.ctrl.apply(params, {"visual_tokens": tokens},
                                frame_ids, padding)
 
     # -- per-frame processing -------------------------------------------------
@@ -94,7 +97,7 @@ class ProactiveGreetingService:
         if (now - timestamp) * 1000.0 > self.cfg.lag_skip_ms:
             return {"triggered": False, "reason": "lag_skip"}
 
-        inst = self._detect(jnp.asarray(image)[None])
+        inst = self._detect(self.scene_params, jnp.asarray(image)[None])
         tokens = np.asarray(inst.tokens[0])          # (K,562)
         valid = np.asarray(inst.valid[0])
         boxes = np.asarray(inst.boxes[0])
@@ -112,7 +115,8 @@ class ProactiveGreetingService:
             1, nf * tpf).astype(jnp.float32)
         frame_ids = jnp.repeat(jnp.arange(1, nf + 1), tpf)[None]
 
-        out = self._attend(win_tokens, frame_ids, win_valid)
+        out = self._attend(self.ctrl_params, win_tokens, frame_ids,
+                           win_valid)
         trigger = float(jax.nn.sigmoid(out["trigger_logits"][0, -1]))
         obj_scores = np.asarray(
             jax.nn.sigmoid(out["obj_logits"][0, -tpf:])) * \

@@ -131,15 +131,34 @@ def _pos_emb_np(bbox: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def _actor_track(rng, F: int):
+# Distribution-shift knobs (round-5 shift eval,
+# scripts_dev/hri_shift_eval.py). Every key optional; defaults = the
+# training distribution. The LABEL RULE (near-field ∧ approaching ∧
+# facing) is computed from the shifted trajectories themselves, so
+# labels stay consistent under every shift — only the input
+# distribution moves.
+DEFAULT_SHIFT = {
+    "n_actors": (0, 3),     # actors per window (train: randint(0,4))
+    "rate_scale": 1.0,      # approach/leave speed multiplier
+    "h0_range": (60.0, 150.0),   # initial bbox height (size regime)
+    "app_noise": 0.25,      # appearance jitter σ
+    "app_drift": 0.0,       # fixed unseen appearance offset magnitude
+    "facing_p": 0.7,        # P(actor faces camera) — trigger-rate shift
+    "clutter": (1, 5),      # clutter tokens per window
+}
+
+
+def _actor_track(rng, F: int, shift: dict | None = None):
     """One actor's bbox height/center trajectory + attributes."""
+    s = shift or DEFAULT_SHIFT
     kind = rng.choice(["approach", "leave", "pass", "loiter"],
                       p=[0.4, 0.2, 0.2, 0.2])
-    h0 = rng.uniform(60.0, 150.0)
+    h0 = rng.uniform(*s.get("h0_range", (60.0, 150.0)))
+    rs = s.get("rate_scale", 1.0)
     if kind == "approach":
-        rate = rng.uniform(4.0, 22.0)
+        rate = rng.uniform(4.0, 22.0) * rs
     elif kind == "leave":
-        rate = -rng.uniform(4.0, 14.0)
+        rate = -rng.uniform(4.0, 14.0) * rs
     else:
         rate = rng.uniform(-1.5, 1.5)
     heights = h0 + rate * np.arange(F) + rng.randn(F) * 1.0
@@ -148,7 +167,7 @@ def _actor_track(rng, F: int):
     vx = rng.uniform(-14.0, 14.0) if kind == "pass" else rng.uniform(-4, 4)
     cxs = np.clip(cx + vx * np.arange(F) + rng.randn(F), 10.0, IM - 10.0)
     return {"heights": heights, "cxs": cxs,
-            "facing": bool(rng.rand() < 0.7),
+            "facing": bool(rng.rand() < s.get("facing_p", 0.7)),
             "band": int(rng.randint(BANDS))}
 
 
@@ -197,19 +216,28 @@ def alloc_buffers(n: int, ctrl_cfg) -> dict:
 
 def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
                      protos: ScenePrototypes | None = None,
-                     out: dict | None = None) -> dict:
+                     out: dict | None = None,
+                     shift: dict | None = None) -> dict:
     """n training windows shaped for ctrl_cfg.inputs_type.
 
     Returns the trainer batch dict (leading axis n). All arrays numpy;
     callers jnp.asarray / shard as needed. Pass ``out`` (from
     :func:`alloc_buffers`) to generate in place with zero allocation —
     the caller must finish consuming (e.g. device-put) the previous
-    contents first.
+    contents first. ``shift`` (DEFAULT_SHIFT keys) moves the scene
+    distribution for robustness evals; the label rule follows the
+    shifted trajectories.
     """
     F, K = ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame
     crop = ctrl_cfg.inputs_type == "inst_crop"
     app_dim = 1280 if crop else 512
     protos = protos or ScenePrototypes(app_dim)
+    s = {**DEFAULT_SHIFT, **(shift or {})}
+    a_lo, a_hi = s["n_actors"]
+    c_lo, c_hi = s["clutter"]
+    app_noise = s["app_noise"]
+    drift = (s["app_drift"] * _unit(np.random.RandomState(1234), app_dim)
+             if s["app_drift"] else None)
 
     if out is None:
         out = alloc_buffers(n, ctrl_cfg)
@@ -233,9 +261,9 @@ def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
 
     t_idx = np.arange(F)
     for w in range(n):
-        n_act = rng.randint(0, 4)
-        actors = [_actor_track(rng, F) for _ in range(n_act)]
-        n_clut = rng.randint(1, 6)
+        n_act = rng.randint(a_lo, min(a_hi, K - 1) + 1)
+        actors = [_actor_track(rng, F, s) for _ in range(n_act)]
+        n_clut = rng.randint(c_lo, c_hi + 1)
         for slot, a in enumerate(actors):
             i = t_idx * K + slot                    # (F,) flat indices
             h = a["heights"]
@@ -245,7 +273,9 @@ def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
                              np.full(F, IM - 40.0)], axis=-1)
             app = (protos.person + 0.6 * protos.bands[a["band"]]
                    + (0.6 * protos.facing if a["facing"] else 0.0)
-                   + 0.25 * rng.randn(F, app_dim)).astype(np.float32)
+                   + app_noise * rng.randn(F, app_dim)).astype(np.float32)
+            if drift is not None:
+                app = app + drift
             if toks is not None:
                 toks[w, i, :] = app
             if fm is not None:
@@ -271,7 +301,10 @@ def generate_windows(rng: np.random.RandomState, n: int, ctrl_cfg,
             cprotos = np.stack([protos.clutter[c % len(protos.clutter)]
                                 for c in range(n_c)])
             app = (np.tile(cprotos, (F, 1))
-                   + 0.25 * rng.randn(F * n_c, app_dim)).astype(np.float32)
+                   + app_noise * rng.randn(F * n_c, app_dim)
+                   ).astype(np.float32)
+            if drift is not None:
+                app = app + drift
             if toks is not None:
                 toks[w, i] = app
             if fm is not None:

@@ -26,6 +26,36 @@ from paddlerobotics_tpu.sim.sbatch import BDynParams
 from paddlerobotics_tpu.train import metrics as metrics_mod
 
 
+def generate_trace(env: BatchedQuadrupedEnv, gait: jnp.ndarray,
+                   dyn: BDynParams, rng: jax.Array,
+                   noise_q: float = 0.0, noise_gyro: float = 0.0):
+    """Replay `gait` (T,12) open-loop under `dyn` with the env's ETG
+    zeroed (the reference replays raw gait positions in an ETG=0 env,
+    Dynamic_parallel_model.py:49,61) and record the joint-angle + gyro
+    response — the "real robot log" generator for recoverability
+    studies, with optional measurement noise.
+
+    Returns (q (T,B,12), gyro (T,B,3))."""
+    B = env.B
+    H = env.cfg.etg.H
+    zw = jnp.zeros((3, H, B))
+    zb = jnp.zeros((3, B))
+    state, _ = env.reset(rng, etg_w=zw, etg_b=zb, dyn=dyn)
+
+    def body(state, t):
+        action = jnp.broadcast_to(gait[t][None, :], (B, 12))
+        nstate, _, _, _, _ = env.step(state, action, autoreset=False)
+        s = nstate.robot.s
+        return nstate, (s.q.T, s.w.T)
+
+    _, (q, gyro) = jax.lax.scan(body, state, jnp.arange(gait.shape[0]))
+    if noise_q > 0.0 or noise_gyro > 0.0:
+        kq, kg = jax.random.split(jax.random.fold_in(rng, 91))
+        q = q + noise_q * jax.random.normal(kq, q.shape)
+        gyro = gyro + noise_gyro * jax.random.normal(kg, gyro.shape)
+    return q, gyro
+
+
 def trace_loss(sim_q, sim_gyro, real_q, real_gyro):
     """Std-normalized max-of-mean-squared-diff loss
     (loss_func, Dynamic_parallel_model.py:29-41). Lower is better;
@@ -70,7 +100,11 @@ class DynamicsIdentifier:
         """(P,48) candidates → (P,) fitness, one batched replay rollout."""
         dyn_leading = jax.vmap(randomize.param2dynamic)(solutions)
         dyn = BDynParams.from_leading(dyn_leading)
-        state, _ = self.env.reset(rng, dyn=dyn)
+        # ETG zeroed: the reference replays the recorded gait as raw
+        # position commands in an ETG=0 env (Dynamic_parallel_model.py:49)
+        zw = jnp.zeros((3, self.cfg.etg.H, self.B))
+        zb = jnp.zeros((3, self.B))
+        state, _ = self.env.reset(rng, etg_w=zw, etg_b=zb, dyn=dyn)
 
         def body(c, t):
             state, q_err, g_err = c
@@ -90,6 +124,18 @@ class DynamicsIdentifier:
         q_loss = jnp.mean(q_err / self.T / q_std[None, :] ** 2, axis=1)
         g_loss = jnp.mean(g_err / self.T / g_std[None, :] ** 2, axis=1)
         return -jnp.maximum(q_loss, g_loss)
+
+    def score(self, solutions: jnp.ndarray, rng=None) -> jnp.ndarray:
+        """Trace loss per candidate (N,48) against THIS identifier's
+        recorded traces — held-out scoring for recoverability studies.
+        Tiles the candidates up to the population/env batch size."""
+        solutions = jnp.atleast_2d(solutions)
+        n = solutions.shape[0]
+        reps = -(-self.P // n)
+        tiled = jnp.tile(solutions, (reps, 1))[:self.P]
+        fit = self._fitness(tiled, jax.random.key(0) if rng is None
+                            else rng)
+        return -fit[:n]
 
     def identify(self, epochs: int = 50, seed: int = 0):
         rng = jax.random.key(seed)

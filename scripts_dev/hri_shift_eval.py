@@ -1,0 +1,138 @@
+"""HRI distribution-shift evaluation (round-5).
+
+The training-held-out eval in docs/hri_training.md measures FIT: the
+512 held-out windows come from the same scene-family distributions as
+training. This study measures ROBUSTNESS — the thing the reference
+actually deploys (per-variant thresholds, jetson/parallel_eval.py:
+28-33, must keep working on whatever walks past the robot). Each
+trained variant (checkpoints from scripts_dev/hri_convergence.py) is
+scored on shifted synthetic families (hri/synthetic_scene.DEFAULT_SHIFT
+knobs); labels always follow the shifted trajectories, so degradation
+is the model's, not the generator's.
+
+Reported per (variant, family): AUC, precision/recall AT THE VARIANT'S
+SHIPPED OPERATING THRESHOLD (threshold stability — the deployed
+quantity), and the family's own P≥0.95 threshold.
+
+    python scripts_dev/hri_shift_eval.py [variants=...] [n=512]
+
+Writes /tmp/hri_shift/summary.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from scripts_dev.hri_convergence import auc_score, make_cfg
+
+CKROOT = "/tmp/hri_convergence"
+
+# shipped operating thresholds (docs/hri_training.md ablation table)
+OPERATING = {"visual_token": 0.50, "instance": 0.75,
+             "without_inst_cls": 0.70, "inst_crop": 0.85,
+             "without_inst_fm": 0.50, "without_inst_pos": 0.50}
+
+FAMILIES = {
+    "in_dist": {},
+    "crowd_4to6": {"n_actors": (4, 6)},
+    "fast_1p8x": {"rate_scale": 1.8},
+    "slow_0p5x": {"rate_scale": 0.5},
+    "near_spawn": {"h0_range": (150.0, 300.0)},
+    "far_small": {"h0_range": (30.0, 80.0)},
+    "app_noise_2x": {"app_noise": 0.5},
+    "app_drift": {"app_drift": 0.5},
+    "shy_facing_0p3": {"facing_p": 0.3},
+    "clutter_heavy": {"clutter": (6, 12)},
+}
+
+
+def score_variant(variant: str, n: int):
+    import jax
+    import jax.numpy as jnp
+
+    from paddlerobotics_tpu.hri import synthetic_scene as ss
+    from paddlerobotics_tpu.hri.eval_client import OfflineEvaluator
+    from paddlerobotics_tpu.hri.train_attention import AttentionTrainer
+    from paddlerobotics_tpu.train import checkpoints
+
+    cfg = make_cfg(variant)
+    outdir = os.path.join(CKROOT, variant)
+    ck = checkpoints.latest_step(outdir)
+    if ck is None:
+        print(f"-- no checkpoint for {variant} under {outdir}; skip",
+              flush=True)
+        return None
+    tr = AttentionTrainer(cfg, lr=1e-4, weight_decay=0.1)
+    state = tr.init(jax.random.key(0))
+    restored = checkpoints.restore(os.path.join(outdir, f"itr_{ck}"),
+                                   {"params": state.params})
+    params = restored["params"]
+
+    @jax.jit
+    def score_fn(params, evb):
+        out = tr.model.apply(params, tr._tokens(evb), evb["frame_ids"],
+                             evb["padding_mask"])
+        return jax.nn.sigmoid(out["trigger_logits"][:, -1])
+
+    # inst_fm windows are ~10 MB each — cap those variants' eval size
+    # so the host→device transfer stays sane on the remote chip
+    has_fm = "inst_fm" in ss.variant_token_keys(cfg.inputs_type)
+    n_eval = min(n, 96) if has_fm else n
+    op_thr = OPERATING.get(variant, 0.5)
+    evaluator = OfflineEvaluator(None)
+    rows = []
+    for fam, shift in FAMILIES.items():
+        rng = np.random.RandomState(55_000)
+        ev = ss.generate_windows(rng, n_eval, cfg, shift=shift or None)
+        labels = np.asarray(ev["has_act"][:, -1])
+        evj = {k: jnp.asarray(v) for k, v in ev.items()}
+        scores = np.asarray(score_fn(params, evj))
+        sweep = evaluator.sweep_thresholds(
+            scores, labels, thresholds=np.arange(0.3, 0.96, 0.05))
+        at_op = evaluator.sweep_thresholds(
+            scores, labels, thresholds=np.asarray([op_thr]))[0]
+        ok = [r for r in sweep if r["precision"] >= 0.95]
+        fam_thr = (max(ok, key=lambda r: r["recall"]) if ok
+                   else max(sweep, key=lambda r: r["f1"]))
+        row = {"family": fam, "n": n_eval,
+               "pos_frac": round(float(labels.mean()), 3),
+               "auc": round(auc_score(scores, labels), 4),
+               "P_at_op": round(at_op["precision"], 3),
+               "R_at_op": round(at_op["recall"], 3),
+               "fam_best_thr": fam_thr["threshold"],
+               "fam_best_P": round(fam_thr["precision"], 3),
+               "fam_best_R": round(fam_thr["recall"], 3)}
+        rows.append(row)
+        print(json.dumps({"variant": variant, **row}), flush=True)
+    return {"variant": variant, "operating_threshold": op_thr,
+            "families": rows}
+
+
+def main():
+    variants = ["visual_token", "inst_crop", "instance",
+                "without_inst_fm", "without_inst_cls"]
+    n = 512
+    for a in sys.argv[1:]:
+        if a.startswith("variants="):
+            variants = a.split("=", 1)[1].split(",")
+        elif a.startswith("n="):
+            n = int(a.split("=", 1)[1])
+    os.makedirs("/tmp/hri_shift", exist_ok=True)
+    out = []
+    for v in variants:
+        r = score_variant(v, n)
+        if r is not None:
+            out.append(r)
+        with open("/tmp/hri_shift/summary.json", "w") as f:
+            json.dump(out, f, indent=1)
+    print("written /tmp/hri_shift/summary.json")
+
+
+if __name__ == "__main__":
+    main()

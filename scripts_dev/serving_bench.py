@@ -1,0 +1,246 @@
+"""Native serving-path benchmark (round-5).
+
+The reference's Jetson server is a latency-hiding thread pipeline
+(infer_v3.cpp:1167-1313, 1736-1756) — its entire reason to exist is
+throughput under model latency. This bench measures the rebuild's
+serving surfaces end-to-end with the REAL jitted models (YOLOv4 scene
+sensor 416² + full-size AttentionController) and reports frames/s and
+p50/p99 per-frame latency per arm:
+
+  model_sync        — ProactiveGreetingService.process_frame direct
+                      (no transport, sequential: the sync baseline)
+  stream_sync       — C++ stream server (length-prefixed TCP), lock-step
+                      send→wait-response per frame
+  stream_pipelined  — same server, frames pumped without waiting
+                      (the native pipeline's detect/attend threads
+                      overlap; responses matched by arrival order)
+  grpc_pipelined    — the from-scratch HTTP/2+HPACK gRPC server driven
+                      by a grpcio bidi stream (grpcio pumps requests
+                      from its own thread → pipelined by construction)
+
+Writes /tmp/serving_bench/summary.json. Run on TPU for headline numbers
+(the remote-tunnel latency is exactly what the pipeline must hide) or
+CPU for a harness check (--frames 30).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def pct(xs, p):
+    return float(np.percentile(np.asarray(xs), p))
+
+
+def summarize(name, lat_s, wall_s, n):
+    row = {"arm": name, "frames": n,
+           "fps": round(n / wall_s, 2),
+           "p50_ms": round(pct(lat_s, 50) * 1e3, 2),
+           "p90_ms": round(pct(lat_s, 90) * 1e3, 2),
+           "p99_ms": round(pct(lat_s, 99) * 1e3, 2)}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def build_models(num_act: int):
+    """Real serving models at reference dims, random-init (weights do
+    not change the op schedule, so latency is representative)."""
+    import jax
+    import jax.numpy as jnp
+
+    from paddlerobotics_tpu.hri.attention_ctrl import (AttentionController,
+                                                       AttnCtrlConfig,
+                                                       top_k_sampling)
+    from paddlerobotics_tpu.hri.perception.scene import SceneSensor
+
+    scene = SceneSensor(arch="yolov4")
+    scene_params = scene.init(jax.random.key(1))
+    ctrl_cfg = AttnCtrlConfig(num_actions=num_act)
+    ctrl = AttentionController(ctrl_cfg)
+    nf, tpf = ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame
+    tok0 = jnp.zeros((1, nf * tpf, ctrl_cfg.visual_token_dim))
+    fid0 = jnp.repeat(jnp.arange(1, nf + 1), tpf)[None]
+    ctrl_params = ctrl.init(jax.random.key(2), {"visual_tokens": tok0},
+                            fid0, jnp.ones((1, nf * tpf)))
+
+    # params as arguments (captured params → HLO constants → remote
+    # compile HTTP 413; see hri/serving.py note)
+    detect_jit = jax.jit(lambda p, img: scene.get_instances_with_feats(
+        p, img))
+
+    @jax.jit
+    def attend_jit(cp, tokens, valid, key):
+        out = ctrl.apply(cp, {"visual_tokens": tokens},
+                         fid0, valid)
+        trig = jax.nn.sigmoid(out["trigger_logits"][0, -1])
+        obj = jax.nn.sigmoid(out["obj_logits"][0, -tpf:])
+        act_logits = out["act_logits"][:, -1:, :]
+        act_id = top_k_sampling(key, act_logits, 1.0, 5)[0, 0]
+        return trig, obj, act_id, jax.nn.softmax(act_logits[0, 0])
+
+    import jax.random as jrandom
+    key_box = [jrandom.key(3)]
+
+    def detect(img):
+        inst = detect_jit(scene_params, np.asarray(img, np.float32)[None])
+        return (np.asarray(inst.boxes[0]), np.asarray(inst.scores[0]),
+                np.asarray(inst.tokens[0]), np.asarray(inst.valid[0]))
+
+    def attend(tokens, valid):
+        key_box[0], k = jrandom.split(key_box[0])
+        tr, ob, a, acts = attend_jit(
+            ctrl_params,
+            np.asarray(tokens, np.float32).reshape(1, nf * tpf, -1),
+            np.asarray(valid, np.float32).reshape(1, nf * tpf), k)
+        return float(tr), np.asarray(ob), int(a), np.asarray(acts)
+
+    return scene, scene_params, ctrl_cfg, ctrl_params, detect, attend
+
+
+def arm_model_sync(svc, frames, n):
+    lat = []
+    t0 = time.time()
+    for i in range(n):
+        t = time.time()
+        svc.process_frame(frames[i % len(frames)])
+        lat.append(time.time() - t)
+    return summarize("model_sync", lat, time.time() - t0, n)
+
+
+def arm_stream(detect, attend, frames, n, pipelined: bool):
+    from paddlerobotics_tpu.hri.native_pipeline import NativePipeline
+    from paddlerobotics_tpu.hri.stream_client import GreetingStreamClient
+
+    pipe = NativePipeline(detect, attend, trigger_threshold=0.5,
+                          near_field_frac=0.0, cooldown_s=0.0)
+    client = None
+    try:
+        port = pipe.serve(0)
+        client = GreetingStreamClient(port=port)
+        # warmup (window fill + jit)
+        for i in range(12):
+            client.send_frame(i, frames[i % len(frames)])
+            client.read_response()
+        send_t = {}
+        lat = []
+        t0 = time.time()
+        if pipelined:
+            done = threading.Event()
+
+            def reader():
+                for j in range(n):
+                    client.read_response()
+                    lat.append(time.time() - send_t[j])
+                done.set()
+
+            th = threading.Thread(target=reader, daemon=True)
+            th.start()
+            for j in range(n):
+                send_t[j] = time.time()
+                client.send_frame(100 + j, frames[j % len(frames)])
+            done.wait(timeout=120)
+        else:
+            for j in range(n):
+                t = time.time()
+                client.send_frame(100 + j, frames[j % len(frames)])
+                client.read_response()
+                lat.append(time.time() - t)
+        wall = time.time() - t0
+        name = "stream_pipelined" if pipelined else "stream_sync"
+        return summarize(name, lat, wall, n)
+    finally:
+        if client is not None:
+            client.close()
+        pipe.close()
+
+
+def arm_grpc(detect, attend, frames, n, num_act):
+    import grpc  # noqa: F401  (skip arm if grpcio absent)
+
+    from paddlerobotics_tpu.hri.grpc_transport import GreetingGrpcClient
+    from paddlerobotics_tpu.hri.native_pipeline import NativeGrpcServer
+
+    server = NativeGrpcServer(detect, attend, num_act=num_act,
+                              trigger_threshold=0.5, near_field_frac=0.0)
+    client = None
+    try:
+        client = GreetingGrpcClient(f"127.0.0.1:{server.port}",
+                                    timeout=300)
+        # warmup stream
+        warm = [client.video_request(i, frames[i % len(frames)])
+                for i in range(12)]
+        list(client.infer(iter(warm)))
+        send_t = {}
+        lat = []
+        t0 = time.time()
+
+        def gen():
+            for j in range(n):
+                send_t[j] = time.time()
+                yield client.video_request(100 + j, frames[j % len(frames)])
+
+        k = 0
+        for _ in client.infer(gen()):
+            lat.append(time.time() - send_t[k])
+            k += 1
+        wall = time.time() - t0
+        return summarize("grpc_pipelined", lat, wall, n)
+    finally:
+        if client is not None:
+            client.close()
+        server.close()
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--num_act", type=int, default=317)
+    p.add_argument("--out", type=str, default="/tmp/serving_bench")
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    import jax
+
+    from paddlerobotics_tpu.hri.serving import (ProactiveGreetingService,
+                                                ServiceConfig)
+
+    scene, scene_params, ctrl_cfg, ctrl_params, detect, attend = \
+        build_models(args.num_act)
+    rng = np.random.default_rng(0)
+    frames = [np.asarray(rng.random((416, 416, 3)), np.float32)
+              for _ in range(4)]
+
+    svc = ProactiveGreetingService(
+        ServiceConfig(trigger_threshold=0.5, near_field_frac=0.0,
+                      wakeup_cooldown_s=0.0),
+        scene, scene_params, ctrl_cfg, ctrl_params)
+    for i in range(12):     # jit warmup + window fill
+        svc.process_frame(frames[i % len(frames)])
+
+    n = args.frames
+    rows = [arm_model_sync(svc, frames, n)]
+    rows.append(arm_stream(detect, attend, frames, n, pipelined=False))
+    rows.append(arm_stream(detect, attend, frames, n, pipelined=True))
+    try:
+        rows.append(arm_grpc(detect, attend, frames, n, args.num_act))
+    except ImportError:
+        print("grpcio absent — grpc arm skipped", flush=True)
+
+    out = {"device": jax.default_backend(), "frames": n,
+           "num_act": args.num_act, "arms": rows}
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("written", os.path.join(args.out, "summary.json"))
+
+
+if __name__ == "__main__":
+    main()

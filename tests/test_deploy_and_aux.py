@@ -150,19 +150,51 @@ def test_shipped_etg_seeds_survive_openloop():
         assert float(jnp.mean(alive)) == 1.0, f"{mode} seed falls open-loop"
 
 
-def test_dynamics_id_smoke():
-    from paddlerobotics_tpu.train.dynamics_id import DynamicsIdentifier
+def test_dynamics_id_recovers_hidden_params():
+    """Recoverability, not smoke: traces generated by the sim itself
+    under a HIDDEN 48-param draw (+ measurement noise) must be matched
+    by the ES loop far better than the nominal parameters match them —
+    the sim2real identification claim of Dynamic_parallel_model.py:
+    29-41,152-182 demonstrated end to end (full study:
+    scripts_dev/dynid_study.py → docs/dynid_study.md)."""
+    import dataclasses
 
-    cfg = QuadrupedConfig()
-    T = 10
-    gait = np.zeros((T, 12), np.float32)
-    real_q = np.tile(np.array([0, 0.9, -1.8] * 4, np.float32), (T, 1))
-    real_gyro = np.zeros((T, 3), np.float32)
-    ident = DynamicsIdentifier(cfg, gait, real_q, real_gyro, popsize=4,
-                               outdir="/tmp/dynid_test")
-    best, dyn = ident.identify(epochs=2)
+    from paddlerobotics_tpu.envs import randomize
+    from paddlerobotics_tpu.envs.batched_env import BatchedQuadrupedEnv
+    from paddlerobotics_tpu.sim.sbatch import BDynParams
+    from paddlerobotics_tpu.train.dynamics_id import (DynamicsIdentifier,
+                                                      generate_trace)
+
+    base = QuadrupedConfig()
+    cfg = dataclasses.replace(
+        base, sim=dataclasses.replace(
+            base.sim, obs_latency_taps=base.sim.latency_buffer_len))
+    T = 40
+    hidden48 = np.asarray(jax.random.uniform(
+        jax.random.key(5), (48,), minval=-1.0, maxval=1.0)) * 0.5
+    hidden_dyn = BDynParams.from_leading(
+        jax.vmap(randomize.param2dynamic)(jnp.asarray(hidden48)[None]))
+
+    # open-loop gait = the default ETG's joint trajectory
+    env1 = BatchedQuadrupedEnv(cfg, 1)
+    w, b = env1.default_etg()
+    gait = jax.vmap(lambda t: env1._etg_residual(
+        w, b, jnp.full((1,), t, jnp.int32))[0][:, 0])(jnp.arange(T))
+
+    q, g = generate_trace(env1, gait, hidden_dyn, jax.random.key(1),
+                          noise_q=0.01, noise_gyro=0.05)
+    ident = DynamicsIdentifier(cfg, gait, q[:, 0], g[:, 0], popsize=16,
+                               sigma=0.5, outdir="/tmp/dynid_test")
+    best, dyn = ident.identify(epochs=8, seed=0)
     assert best.shape == (48,)
-    assert np.isfinite(float(jnp.sum(dyn.motor_kp)))
+    losses = np.asarray(ident.score(jnp.stack(
+        [jnp.asarray(best), jnp.zeros(48), jnp.asarray(hidden48)])))
+    ident_loss, nominal_loss, true_loss = losses
+    # the true params reach (near) the noise floor; the identified draw
+    # must land well below nominal — it actually identified something
+    assert np.isfinite(ident_loss)
+    assert ident_loss < 0.6 * nominal_loss, (ident_loss, nominal_loss)
+    assert true_loss < nominal_loss
 
 
 def test_cli_parses():

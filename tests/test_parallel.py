@@ -154,14 +154,16 @@ def test_bc_distillation_on_mesh():
     tr = BCTrainer(cfg, expert, expert_state, num_envs=B,
                    outdir="/tmp/bc_mesh_test")
     state, obs = jax.jit(tr.env.reset)(jax.random.key(0))
+    bc_state0 = tr.bc.init(jax.random.key(4))
 
-    _, _, _, (s_ref, e_ref) = tr.collect(state, obs, jax.random.key(1), 3)
+    _, _, _, (s_ref, e_ref) = tr.collect(bc_state0, state, obs,
+                                         jax.random.key(1), 3, False)
 
     mesh = sh.make_mesh(n_env=8, n_model=1)
     state_sh = sh.shard_env_state(mesh, state)
     with jax.set_mesh(mesh):
         env_state, obs2, rng2, (s_sh, e_sh) = tr.collect(
-            state_sh, obs, jax.random.key(1), 3)
+            bc_state0, state_sh, obs, jax.random.key(1), 3, False)
         # distill consumes the sharded collection through the BC buffer
         from paddlerobotics_tpu.algos import replay
         buf = replay.bc_create(4096, tr.student_obs_dim, tr.env.obs_dim)

@@ -77,8 +77,8 @@ def test_bc_trainer_smoke(tiny_cfg):
     expert_state = expert.init(jax.random.key(0))
     bc = BCTrainer(tiny_cfg, expert, expert_state, num_envs=4,
                    outdir="/tmp/bc_test")
-    bc_state, losses = bc.train(total_steps=200, collect_chunk=8,
-                                distill_epochs=2)
+    bc_state, losses = bc.train(total_steps=200, distill_epochs=2,
+                                final_epochs=1, eval_every=10**9)
     assert np.isfinite(float(losses["actor_loss"]))
     assert np.isfinite(float(losses["critic_loss"]))
     # student predicts from the truncated view
