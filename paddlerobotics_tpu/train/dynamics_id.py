@@ -73,9 +73,14 @@ class DynamicsIdentifier:
                  real_q: jnp.ndarray, real_gyro: jnp.ndarray,
                  popsize: int = 40, sigma: float = 0.5,
                  outdir: str = "dyn_id_log"):
-        """gait_actions (T,12): recorded joint-space commands (deltas from
-        default pose, like gait_action_list npys); real_q (T,12) /
-        real_gyro (T,3): recorded robot responses."""
+        """gait_actions (T,12) or (G,T,12): recorded joint-space commands
+        (deltas from default pose, like gait_action_list npys); real_q
+        (…,T,12) / real_gyro (…,T,3): recorded robot responses. Multiple
+        gaits are fitted jointly with the loss averaged across them —
+        the reference replays TWO gaits ('exp'/'ori') per candidate and
+        averages (batch_sample_episodes,
+        Dynamic_parallel_model.py:70-77), which is what makes several
+        of the 48 params identifiable at all."""
         self.cfg = config
         self.P = popsize
         self.B = popsize
@@ -85,10 +90,15 @@ class DynamicsIdentifier:
         config = dataclasses.replace(config, sim=dataclasses.replace(
             config.sim, obs_latency_taps=config.sim.latency_buffer_len))
         self.env = BatchedQuadrupedEnv(config, self.B)
-        self.gait = jnp.asarray(gait_actions)
-        self.real_q = jnp.asarray(real_q)
-        self.real_gyro = jnp.asarray(real_gyro)
-        self.T = self.gait.shape[0]
+        gait = jnp.asarray(gait_actions)
+        if gait.ndim == 2:
+            gait = gait[None]
+        self.gait = gait                              # (G,T,12)
+        self.real_q = jnp.asarray(real_q).reshape(gait.shape[0], -1, 12)
+        self.real_gyro = jnp.asarray(real_gyro).reshape(
+            gait.shape[0], -1, 3)
+        self.G = gait.shape[0]
+        self.T = gait.shape[1]
         self.solver = es_mod.SimpleGA(
             randomize.NUM_DYNAMIC_PARAMS, sigma_init=sigma,
             sigma_decay=0.99, sigma_limit=0.01, popsize=popsize,
@@ -104,26 +114,37 @@ class DynamicsIdentifier:
         # position commands in an ETG=0 env (Dynamic_parallel_model.py:49)
         zw = jnp.zeros((3, self.cfg.etg.H, self.B))
         zb = jnp.zeros((3, self.B))
-        state, _ = self.env.reset(rng, etg_w=zw, etg_b=zb, dyn=dyn)
 
-        def body(c, t):
-            state, q_err, g_err = c
-            action = jnp.broadcast_to(self.gait[t][None, :], (self.B, 12))
-            nstate, _, _, _, _ = self.env.step(state, action,
-                                               autoreset=False)
-            s = nstate.robot.s
-            dq = (s.q.T - self.real_q[t][None, :])        # (B,12)
-            dg = (s.w.T - self.real_gyro[t][None, :])     # (B,3)
-            return (nstate, q_err + dq * dq, g_err + dg * dg), None
+        def one_gait(g):
+            state, _ = self.env.reset(rng, etg_w=zw, etg_b=zb, dyn=dyn)
 
-        init = (state, jnp.zeros((self.B, 12)), jnp.zeros((self.B, 3)))
-        (state, q_err, g_err), _ = jax.lax.scan(
-            body, init, jnp.arange(self.T))
-        q_std = jnp.std(self.real_q, axis=0) + 1e-6
-        g_std = jnp.std(self.real_gyro, axis=0) + 1e-6
-        q_loss = jnp.mean(q_err / self.T / q_std[None, :] ** 2, axis=1)
-        g_loss = jnp.mean(g_err / self.T / g_std[None, :] ** 2, axis=1)
-        return -jnp.maximum(q_loss, g_loss)
+            def body(c, t):
+                state, q_err, g_err = c
+                action = jnp.broadcast_to(self.gait[g, t][None, :],
+                                          (self.B, 12))
+                nstate, _, _, _, _ = self.env.step(state, action,
+                                                   autoreset=False)
+                s = nstate.robot.s
+                dq = (s.q.T - self.real_q[g, t][None, :])     # (B,12)
+                dg = (s.w.T - self.real_gyro[g, t][None, :])  # (B,3)
+                return (nstate, q_err + dq * dq, g_err + dg * dg), None
+
+            init = (state, jnp.zeros((self.B, 12)),
+                    jnp.zeros((self.B, 3)))
+            (state, q_err, g_err), _ = jax.lax.scan(
+                body, init, jnp.arange(self.T))
+            q_std = jnp.std(self.real_q[g], axis=0) + 1e-6
+            g_std = jnp.std(self.real_gyro[g], axis=0) + 1e-6
+            q_loss = jnp.mean(q_err / self.T / q_std[None, :] ** 2,
+                              axis=1)
+            g_loss = jnp.mean(g_err / self.T / g_std[None, :] ** 2,
+                              axis=1)
+            return jnp.maximum(q_loss, g_loss)
+
+        # mean over gaits (reference averages exp/ori rewards,
+        # Dynamic_parallel_model.py:75)
+        losses = jnp.stack([one_gait(g) for g in range(self.G)])
+        return -jnp.mean(losses, axis=0)
 
     def score(self, solutions: jnp.ndarray, rng=None) -> jnp.ndarray:
         """Trace loss per candidate (N,48) against THIS identifier's
