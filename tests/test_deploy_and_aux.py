@@ -223,7 +223,11 @@ def test_cli_task_preset_defaults():
     apply_task_preset(p, ["--task_mode=balance_beam", "--step_y", "0.07"])
     a = p.parse_args(["--task_mode=balance_beam", "--step_y", "0.07"])
     assert a.step_y == 0.07          # explicit flag wins
-    assert a.critic_reset_steps == 5_000_000
+    # shipped round-4 beam preset: keep_best_eval + LN critic, NO
+    # critic reset (docs/task_matrix.md "round-4 close")
+    assert a.keep_best_eval == 1
+    assert a.ln_critic is True or a.ln_critic == 1
+    assert a.critic_reset_steps == 0
 
     p = build_parser()
     apply_task_preset(p, ["--task_mode", "ground"])
