@@ -23,14 +23,40 @@ class _FramedClient:
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
+    def set_timeout(self, timeout: Optional[float]) -> None:
+        """Adjust the blocking-read deadline (None = block forever).
+        Used by drain loops that read until the stream goes quiet."""
+        self.sock.settimeout(timeout)
+
     def _read_exact(self, n: int) -> bytes:
         buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("stream closed")
-            buf += chunk
-        return buf
+        graced = False
+        prev = self.sock.gettimeout()
+        try:
+            while len(buf) < n:
+                try:
+                    chunk = self.sock.recv(n - len(buf))
+                except TimeoutError:
+                    if buf and not graced:
+                        # mid-frame timeout: the peer has started
+                        # sending (short poll timeouts must not corrupt
+                        # framing) — give the rest of the frame one
+                        # long grace window
+                        graced = True
+                        self.sock.settimeout(30.0)
+                        continue
+                    if buf:
+                        raise ConnectionError(
+                            f"stream corrupt: timed out {len(buf)}/{n} "
+                            "bytes into a frame") from None
+                    raise
+                if not chunk:
+                    raise ConnectionError("stream closed")
+                buf += chunk
+            return buf
+        finally:
+            if graced:
+                self.sock.settimeout(prev)
 
     def close(self):
         try:

@@ -45,6 +45,7 @@ struct MultimodalAction {
 };
 
 struct Decision {
+  int64_t frame_id = -1;  // latest frame the decision window ended on
   bool triggered = false;
   float trigger_score = 0.f;
   int action_id = 0;

@@ -32,7 +32,8 @@ MultimodalAction MultimodalAction::Parse(const std::string& line) {
 std::string Decision::ToJson(
     const std::vector<MultimodalAction>& catalog) const {
   std::ostringstream os;
-  os << "{\"triggered\":" << (triggered ? "true" : "false")
+  os << "{\"frame_id\":" << frame_id
+     << ",\"triggered\":" << (triggered ? "true" : "false")
      << ",\"trigger_score\":" << trigger_score;
   if (!reason.empty()) os << ",\"reason\":\"" << reason << "\"";
   if (triggered) {
@@ -119,6 +120,7 @@ Decision GreetingPipeline::Decide(const InferBackend::AttnResult& r,
                                   const FrameInstances& latest,
                                   double now) {
   Decision d;
+  d.frame_id = latest.frame_id;
   d.trigger_score = r.trigger;
   if (r.trigger < cfg_.trigger_threshold) {
     d.reason = "below_threshold";

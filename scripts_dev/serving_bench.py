@@ -116,47 +116,119 @@ def arm_model_sync(svc, frames, n):
     return summarize("model_sync", lat, time.time() - t0, n)
 
 
-def arm_stream(detect, attend, frames, n, pipelined: bool):
+def arm_stream(detect, attend, frames, n, pipelined: bool,
+               pace_s: float, offered_fps: float = 25.0):
+    """Stream-server arms, written to the pipeline's REAL semantics:
+    the controller emits nothing until its 10-frame window fills, and
+    under load the bounded queues conflate (drop-oldest) + lag-skip
+    (max_lag_s=0.5) — that is the latency-hiding design
+    (infer_v3.cpp:286), so responses are NOT 1:1 with frames. Window
+    fill must therefore be PACED to the model latency (pace_s, taken
+    from the model_sync arm's p50): frames pumped faster than detect
+    drains them all go stale and get skipped, and the window never
+    fills. Sync arm = lock-step after window fill (one in flight →
+    one decision per frame). Pipelined arm = frames offered at camera
+    rate (offered_fps); decisions matched back to frames by the
+    frame_id echoed in the response JSON; conflated / lag-skipped
+    frames are reported as drops, not errors."""
+    import socket as _socket
+
     from paddlerobotics_tpu.hri.native_pipeline import NativePipeline
     from paddlerobotics_tpu.hri.stream_client import GreetingStreamClient
 
-    pipe = NativePipeline(detect, attend, trigger_threshold=0.5,
+    pipe = NativePipeline(detect, lambda t, v: attend(t, v)[:3],
+                          trigger_threshold=0.5,
                           near_field_frac=0.0, cooldown_s=0.0)
     client = None
+    quiet = (TimeoutError, _socket.timeout)
     try:
         port = pipe.serve(0)
-        client = GreetingStreamClient(port=port)
-        # warmup (window fill + jit)
-        for i in range(12):
+        client = GreetingStreamClient(port=port, timeout=300.0)
+        # Window fill: send paced to the model (so nothing goes stale),
+        # poll for decisions until at least two arrive (proof the
+        # window is full and decisions flow), then drain until quiet.
+        got = 0
+        client.set_timeout(0.2)
+        for i in range(40):
             client.send_frame(i, frames[i % len(frames)])
-            client.read_response()
-        send_t = {}
-        lat = []
-        t0 = time.time()
-        if pipelined:
-            done = threading.Event()
-
-            def reader():
-                for j in range(n):
+            deadline = time.time() + max(pace_s, 0.05)
+            while True:
+                rem = deadline - time.time()
+                if rem <= 0:
+                    break
+                client.set_timeout(rem)
+                try:
                     client.read_response()
-                    lat.append(time.time() - send_t[j])
-                done.set()
-
-            th = threading.Thread(target=reader, daemon=True)
-            th.start()
-            for j in range(n):
-                send_t[j] = time.time()
-                client.send_frame(100 + j, frames[j % len(frames)])
-            done.wait(timeout=120)
-        else:
+                    got += 1
+                except quiet:
+                    break
+            if got >= 2:
+                break
+        if got < 2:
+            raise RuntimeError(
+                f"window never produced decisions (pace_s={pace_s})")
+        client.set_timeout(max(2.0, 2 * pace_s))
+        try:
+            while True:
+                client.read_response()
+        except quiet:
+            pass
+        name = "stream_pipelined" if pipelined else "stream_sync"
+        if not pipelined:
+            client.set_timeout(max(60.0, 20 * pace_s))
+            lat = []
+            t0 = time.time()
             for j in range(n):
                 t = time.time()
                 client.send_frame(100 + j, frames[j % len(frames)])
                 client.read_response()
                 lat.append(time.time() - t)
-        wall = time.time() - t0
-        name = "stream_pipelined" if pipelined else "stream_sync"
-        return summarize(name, lat, wall, n)
+            return summarize(name, lat, time.time() - t0, n)
+
+        send_t = {}
+        lat = []
+        n_resp = [0]
+        last_fid = 100 + n - 1
+        done = threading.Event()
+        t_last = [None]
+
+        def reader():
+            # quiet stream = run over (covers the tail where every
+            # remaining queued frame went stale and was skipped)
+            client.set_timeout(max(10.0, 4 * pace_s))
+            while True:
+                try:
+                    r = client.read_response()
+                except quiet:
+                    break
+                t_last[0] = time.time()
+                n_resp[0] += 1
+                fid = r.get("frame_id", -1)
+                if fid in send_t:
+                    lat.append(t_last[0] - send_t[fid])
+                if fid >= last_fid:
+                    break
+            done.set()
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+        period = 1.0 / offered_fps
+        t0 = time.time()
+        for j in range(n):
+            target = t0 + j * period
+            dt = target - time.time()
+            if dt > 0:
+                time.sleep(dt)
+            send_t[100 + j] = time.time()
+            client.send_frame(100 + j, frames[j % len(frames)])
+        done.wait(timeout=600)
+        wall = (t_last[0] or time.time()) - t0
+        row = summarize(name, lat or [float("nan")], wall, n_resp[0])
+        row.update(offered_fps=offered_fps, frames_offered=n,
+                   decisions=n_resp[0], dropped=n - n_resp[0],
+                   matched=len(lat))
+        print(json.dumps(row), flush=True)
+        return row
     finally:
         if client is not None:
             client.close()
@@ -205,10 +277,17 @@ def main():
     p.add_argument("--frames", type=int, default=120)
     p.add_argument("--num_act", type=int, default=317)
     p.add_argument("--out", type=str, default="/tmp/serving_bench")
+    p.add_argument("--offered_fps", type=float, default=25.0,
+                   help="camera rate offered to the pipelined arm")
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU (harness check; axon ignores "
+                        "JAX_PLATFORMS so this must be a config update)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from paddlerobotics_tpu.hri.serving import (ProactiveGreetingService,
                                                 ServiceConfig)
@@ -226,10 +305,23 @@ def main():
     for i in range(12):     # jit warmup + window fill
         svc.process_frame(frames[i % len(frames)])
 
+    # warm the callback-path closures too: the transport arms call these
+    # via ctypes callbacks, and an unwarmed first call means a remote
+    # compile inside the server's read loop (client recv would time out)
+    _, _, tok, val = detect(frames[0])
+    nf, tpf = ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame
+    attend(np.zeros((nf, tpf, tok.shape[-1]), np.float32),
+           np.zeros((nf, tpf), np.float32))
+
     n = args.frames
     rows = [arm_model_sync(svc, frames, n)]
-    rows.append(arm_stream(detect, attend, frames, n, pipelined=False))
-    rows.append(arm_stream(detect, attend, frames, n, pipelined=True))
+    # pace window fills to the measured serial model latency (see
+    # arm_stream docstring — faster pumping just triggers lag-skip)
+    pace_s = 1.5 * rows[0]["p50_ms"] / 1e3 + 0.05
+    rows.append(arm_stream(detect, attend, frames, n, pipelined=False,
+                           pace_s=pace_s))
+    rows.append(arm_stream(detect, attend, frames, n, pipelined=True,
+                           pace_s=pace_s, offered_fps=args.offered_fps))
     try:
         rows.append(arm_grpc(detect, attend, frames, n, args.num_act))
     except ImportError:

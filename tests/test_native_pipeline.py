@@ -82,6 +82,9 @@ def test_stream_transport_full_loop():
             time.sleep(0.01)
         resp = client.read_response()
         assert "triggered" in resp
+        # decisions echo the frame the window ended on (serving_bench
+        # matches pipelined responses back to frames through this)
+        assert 9 <= resp["frame_id"] < 12
         # the stub always fires above threshold → some response in the
         # stream is a trigger
         for _ in range(20):
