@@ -297,18 +297,17 @@ void* grpc_server_create(DetectFn detect, AttendEvalFn attend,
         lag_ms / 1000.0;
     f.pixels = std::move(pixels);
     h->pipeline->SubmitFrame(std::move(f));
-    // ControllerLoop only attends once kNumFrames are windowed —
-    // respond like hri/serving.py while the window fills.
-    if (fid + 1 < static_cast<long>(kNumFrames)) {
-      auto d = h->pipeline->decisions().PopFor(
-          std::chrono::milliseconds(50));
-      return d ? d->ToJson({})
-               : std::string(
-                     "{\"triggered\":false,\"reason\":\"window_filling\"}");
-    }
+    // Lock-step like infer_v3.cpp:1589-1640 but NEVER block unboundedly:
+    // during window fill — and whenever the pipeline conflated or
+    // lag-skipped this frame — no decision may ever arrive for it, so a
+    // long wait here would stall the whole HTTP/2 stream (requests are
+    // served in order) past the client deadline. Wait a bounded slice;
+    // if nothing is ready, answer "pending" and let the decision ride
+    // a later response (frame_id in the JSON says which frame it was).
     auto d = h->pipeline->decisions().PopFor(
-        std::chrono::milliseconds(120000));
-    return d ? d->ToJson({}) : std::string("{}");
+        std::chrono::milliseconds(2500));
+    return d ? d->ToJson({})
+             : std::string("{\"triggered\":false,\"reason\":\"pending\"}");
   };
   GrpcServer::EvalFn eval = [h](std::vector<RawFrame> frames) {
     return h->eval->ScoreWindow(frames);

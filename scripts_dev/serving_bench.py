@@ -253,6 +253,7 @@ def arm_grpc(detect, attend, frames, n, num_act):
         list(client.infer(iter(warm)))
         send_t = {}
         lat = []
+        pending = 0
         t0 = time.time()
 
         def gen():
@@ -261,11 +262,22 @@ def arm_grpc(detect, attend, frames, n, num_act):
                 yield client.video_request(100 + j, frames[j % len(frames)])
 
         k = 0
-        for _ in client.infer(gen()):
-            lat.append(time.time() - send_t[k])
+        for resp in client.infer(gen()):
+            # "pending" = the bounded lock-step wait elapsed with no
+            # decision ready (window fill / conflated frame) — a
+            # round-trip, not a decision; keep it out of the latency
+            # distribution
+            if resp.get("reason") == "pending":
+                pending += 1
+            else:
+                lat.append(time.time() - send_t[k])
             k += 1
         wall = time.time() - t0
-        return summarize("grpc_pipelined", lat, wall, n)
+        row = summarize("grpc_pipelined", lat or [float("nan")], wall,
+                        n - pending)
+        row.update(requests=n, pending=pending)
+        print(json.dumps(row), flush=True)
+        return row
     finally:
         if client is not None:
             client.close()

@@ -246,9 +246,9 @@ def test_native_grpc_server_interop_with_grpcio():
         outs = list(greet_client.infer(iter(reqs)))
         assert len(outs) == 12
         # the pipeline attends once 10 frames are windowed
-        # (infer_v3.cpp OB_WINDOW_LEN); earlier responses mirror the
-        # python service's window_filling
-        assert outs[0]["reason"] == "window_filling"
+        # (infer_v3.cpp OB_WINDOW_LEN); earlier responses report the
+        # bounded lock-step wait elapsing with no decision ready
+        assert outs[0]["reason"] == "pending"
         assert outs[9]["triggered"] is True
         assert outs[9]["trigger_score"] == pytest.approx(0.9, abs=1e-4)
         assert outs[9]["action_id"] == 2
