@@ -365,9 +365,15 @@ def _pos_emb_dev(bbox: jnp.ndarray) -> jnp.ndarray:
          x_emb.reshape(*x_emb.shape[:-2], 25)], axis=-1)
 
 
-def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple):
+def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple,
+                    shift_t: tuple = (60.0, 150.0, 1.0, 0.7)):
     """One window (no batch axis); vmapped by generate_windows_device.
-    ``keys`` = the variant's token keys (variant_token_keys)."""
+    ``keys`` = the variant's token keys (variant_token_keys);
+    ``shift_t`` = (h0_min, h0_max, rate_scale, facing_p) — the device
+    subset of DEFAULT_SHIFT, used to HARDEN the training distribution
+    (round-5 shift study). Defaults reproduce the original stream
+    byte-identically."""
+    h0_min, h0_max, rate_scale, facing_p = shift_t
     app_dim = pp["person"].shape[0]
     t = jnp.arange(F, dtype=jnp.float32)
     (k_na, k_act, k_anoise, k_nc, k_cnoise, k_ccls, k_cbox,
@@ -378,11 +384,13 @@ def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple):
         kk = jax.random.split(k, 12)
         kind = jax.random.choice(kk[0], 4,
                                  p=jnp.array([0.4, 0.2, 0.2, 0.2]))
-        h0 = jax.random.uniform(kk[1], (), minval=60.0, maxval=150.0)
+        h0 = jax.random.uniform(kk[1], (), minval=h0_min, maxval=h0_max)
         rate = jnp.select(
             [kind == 0, kind == 1],
-            [jax.random.uniform(kk[2], (), minval=4.0, maxval=22.0),
-             -jax.random.uniform(kk[3], (), minval=4.0, maxval=14.0)],
+            [jax.random.uniform(kk[2], (), minval=4.0 * rate_scale,
+                                maxval=22.0 * rate_scale),
+             -jax.random.uniform(kk[3], (), minval=4.0 * rate_scale,
+                                 maxval=14.0 * rate_scale)],
             jax.random.uniform(kk[4], (), minval=-1.5, maxval=1.5))
         h = jnp.clip(h0 + rate * t + jax.random.normal(kk[5], (F,)),
                      24.0, 380.0)
@@ -393,7 +401,7 @@ def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple):
             jax.random.uniform(kk[8], (), minval=-4.0, maxval=4.0))
         cxs = jnp.clip(cx + vx * t + jax.random.normal(kk[9], (F,)),
                        10.0, IM - 10.0)
-        facing = jax.random.uniform(kk[10], ()) < 0.7
+        facing = jax.random.uniform(kk[10], ()) < facing_p
         band = jax.random.randint(kk[11], (), 0, BANDS)
         return h, cxs, facing, band
 
@@ -492,9 +500,9 @@ def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple):
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _gen_batch_device(key, n: int, static, pp):
-    F, K, cls_dim, keys = static
+    F, K, cls_dim, keys, shift_t = static
     gen = functools.partial(_gen_one_device, pp=pp, F=F, K=K,
-                            cls_dim=cls_dim, keys=keys)
+                            cls_dim=cls_dim, keys=keys, shift_t=shift_t)
     out = jax.vmap(lambda k: gen(k))(jax.random.split(key, n))
     out["frame_ids"] = jnp.tile(
         jnp.repeat(jnp.arange(1, F + 1), K)[None], (n, 1))
@@ -502,13 +510,20 @@ def _gen_batch_device(key, n: int, static, pp):
 
 
 def generate_windows_device(key, n: int, ctrl_cfg,
-                            protos: dict | None = None) -> dict:
+                            protos: dict | None = None,
+                            shift: dict | None = None) -> dict:
     """On-device mirror of :func:`generate_windows` — same batch keys,
     same label rule, same per-field distributions (different RNG
     stream). Jittable/fusable: call inside a scanned train chunk so the
-    feed never leaves the device."""
+    feed never leaves the device. ``shift`` (DEFAULT_SHIFT keys; the
+    device path honors h0_range / rate_scale / facing_p) widens the
+    TRAINING distribution — the round-5 hardening lever against the
+    shift-eval's threshold instability."""
     pp = protos if protos is not None else device_prototypes(ctrl_cfg)
+    s = {**DEFAULT_SHIFT, **(shift or {})}
+    shift_t = (float(s["h0_range"][0]), float(s["h0_range"][1]),
+               float(s["rate_scale"]), float(s["facing_p"]))
     static = (ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame,
               ctrl_cfg.inst_cls_dim,
-              variant_token_keys(ctrl_cfg.inputs_type))
+              variant_token_keys(ctrl_cfg.inputs_type), shift_t)
     return _gen_batch_device(key, n, static, pp)
