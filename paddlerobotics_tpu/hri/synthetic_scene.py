@@ -366,14 +366,14 @@ def _pos_emb_dev(bbox: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple,
-                    shift_t: tuple = (60.0, 150.0, 1.0, 0.7)):
+                    shift_t: tuple = (60.0, 150.0, 1.0, 0.7, 0.25)):
     """One window (no batch axis); vmapped by generate_windows_device.
     ``keys`` = the variant's token keys (variant_token_keys);
-    ``shift_t`` = (h0_min, h0_max, rate_scale, facing_p) — the device
-    subset of DEFAULT_SHIFT, used to HARDEN the training distribution
-    (round-5 shift study). Defaults reproduce the original stream
-    byte-identically."""
-    h0_min, h0_max, rate_scale, facing_p = shift_t
+    ``shift_t`` = (h0_min, h0_max, rate_scale, facing_p, app_noise) —
+    the device subset of DEFAULT_SHIFT, used to HARDEN the training
+    distribution (round-5 shift study). Defaults reproduce the
+    original stream byte-identically."""
+    h0_min, h0_max, rate_scale, facing_p, app_noise = shift_t
     app_dim = pp["person"].shape[0]
     t = jnp.arange(F, dtype=jnp.float32)
     (k_na, k_act, k_anoise, k_nc, k_cnoise, k_ccls, k_cbox,
@@ -412,7 +412,8 @@ def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple,
     a_base = (pp["person"] + 0.6 * pp["bands"][band]
               + 0.6 * facing[:, None].astype(jnp.float32) * pp["facing"])
     app = (a_base[:, None, :]
-           + 0.25 * jax.random.normal(k_anoise, (MAX_ACTORS, F, app_dim))
+           + app_noise * jax.random.normal(k_anoise,
+                                           (MAX_ACTORS, F, app_dim))
            )                                           # (A,F,D)
     wd = h * 0.45
     bbox = jnp.stack([cxs - wd / 2, IM - 40.0 - h, cxs + wd / 2,
@@ -433,8 +434,8 @@ def _gen_one_device(key, pp, F: int, K: int, cls_dim: int, keys: tuple,
     n_c = jnp.minimum(n_clut, K - n_act)
     c_active = jnp.arange(MAX_CLUTTER) < n_c           # (C,)
     c_app = (pp["clutter"][:, None, :]
-             + 0.25 * jax.random.normal(k_cnoise,
-                                        (MAX_CLUTTER, F, app_dim)))
+             + app_noise * jax.random.normal(k_cnoise,
+                                             (MAX_CLUTTER, F, app_dim)))
     cb = jnp.sort(jax.random.uniform(k_cbox, (MAX_CLUTTER, F, 2),
                                      minval=0.0, maxval=IM), axis=-1)
     c_pos = _pos_emb_dev(jnp.stack(
@@ -516,13 +517,14 @@ def generate_windows_device(key, n: int, ctrl_cfg,
     same label rule, same per-field distributions (different RNG
     stream). Jittable/fusable: call inside a scanned train chunk so the
     feed never leaves the device. ``shift`` (DEFAULT_SHIFT keys; the
-    device path honors h0_range / rate_scale / facing_p) widens the
-    TRAINING distribution — the round-5 hardening lever against the
-    shift-eval's threshold instability."""
+    device path honors h0_range / rate_scale / facing_p / app_noise)
+    widens the TRAINING distribution — the round-5 hardening lever
+    against the shift-eval's threshold instability."""
     pp = protos if protos is not None else device_prototypes(ctrl_cfg)
     s = {**DEFAULT_SHIFT, **(shift or {})}
     shift_t = (float(s["h0_range"][0]), float(s["h0_range"][1]),
-               float(s["rate_scale"]), float(s["facing_p"]))
+               float(s["rate_scale"]), float(s["facing_p"]),
+               float(s["app_noise"]))
     static = (ctrl_cfg.num_frames, ctrl_cfg.tokens_per_frame,
               ctrl_cfg.inst_cls_dim,
               variant_token_keys(ctrl_cfg.inputs_type), shift_t)

@@ -52,7 +52,8 @@ FAMILIES = {
 }
 
 
-def score_variant(variant: str, n: int):
+def score_variant(variant: str, n: int, ckdir: str | None = None,
+                  op_thr: float | None = None, tag: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +63,7 @@ def score_variant(variant: str, n: int):
     from paddlerobotics_tpu.train import checkpoints
 
     cfg = make_cfg(variant)
-    outdir = os.path.join(CKROOT, variant)
+    outdir = ckdir or os.path.join(CKROOT, variant)
     ck = checkpoints.latest_step(outdir)
     if ck is None:
         print(f"-- no checkpoint for {variant} under {outdir}; skip",
@@ -84,7 +85,8 @@ def score_variant(variant: str, n: int):
     # so the host→device transfer stays sane on the remote chip
     has_fm = "inst_fm" in ss.variant_token_keys(cfg.inputs_type)
     n_eval = min(n, 96) if has_fm else n
-    op_thr = OPERATING.get(variant, 0.5)
+    if op_thr is None:
+        op_thr = OPERATING.get(variant, 0.5)
     evaluator = OfflineEvaluator(None)
     rows = []
     for fam, shift in FAMILIES.items():
@@ -109,8 +111,8 @@ def score_variant(variant: str, n: int):
                "fam_best_P": round(fam_thr["precision"], 3),
                "fam_best_R": round(fam_thr["recall"], 3)}
         rows.append(row)
-        print(json.dumps({"variant": variant, **row}), flush=True)
-    return {"variant": variant, "operating_threshold": op_thr,
+        print(json.dumps({"variant": tag or variant, **row}), flush=True)
+    return {"variant": tag or variant, "operating_threshold": op_thr,
             "families": rows}
 
 
@@ -124,14 +126,17 @@ def main():
         elif a.startswith("n="):
             n = int(a.split("=", 1)[1])
     os.makedirs("/tmp/hri_shift", exist_ok=True)
+    dst = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "hri_shift_summary.json")
     out = []
     for v in variants:
         r = score_variant(v, n)
         if r is not None:
             out.append(r)
-        with open("/tmp/hri_shift/summary.json", "w") as f:
-            json.dump(out, f, indent=1)
-    print("written /tmp/hri_shift/summary.json")
+        for path in ("/tmp/hri_shift/summary.json", dst):
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
+    print(f"written /tmp/hri_shift/summary.json + {dst}")
 
 
 if __name__ == "__main__":
